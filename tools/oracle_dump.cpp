@@ -1,0 +1,102 @@
+// Parity oracle: drives the UNMODIFIED reference engine (compiled out-of-tree
+// from /root/reference) and dumps machine-readable state so the JAX rebuild
+// can be diffed trajectory-by-trajectory against it.  This file is test
+// harness code only -- it links against the reference, it does not reimplement
+// it.
+//
+// Usage:
+//   oracle_dump board <seed>
+//       print the 121 raw board ints after InitBoardItems(seed)
+//   oracle_dump traj <seed> <steps>
+//       InitState(seed, agents 0..3 in corners), then read 4 move ints per
+//       step from stdin, Step(), and dump full state per step
+//   oracle_dump kicktraj <seed> <steps>
+//       same, but all agents get canKick=true first
+
+#include <cstdio>
+#include <cstdlib>
+#include "bboard.hpp"
+
+using namespace bboard;
+
+// NOTE: build this file with -ftrivial-auto-var-init=zero (see
+// tools/build_oracle.sh).  InitBoardItems' powerup loop can read
+// one-past-the-end of its local wood queue (bboard.cpp:365-371, inclusive
+// idxSample bound) -- an uninitialized stack read, UB in the reference.  The
+// flag makes that read deterministically 0, which is the model the JAX
+// replica implements (core/board_gen.py).
+
+static void dumpState(const State& s)
+{
+    std::printf("{\"board\":[");
+    for (int y = 0; y < BOARD_SIZE; y++)
+        for (int x = 0; x < BOARD_SIZE; x++)
+            std::printf("%d%s", s.board[y][x],
+                        (y == BOARD_SIZE - 1 && x == BOARD_SIZE - 1) ? "" : ",");
+    std::printf("],\"agents\":[");
+    for (int i = 0; i < AGENT_COUNT; i++)
+    {
+        const AgentInfo& a = s.agents[i];
+        std::printf("[%d,%d,%d,%d,%d,%d,%d]%s", a.x, a.y, a.dead ? 1 : 0,
+                    a.bombCount, a.maxBombCount, a.bombStrength,
+                    a.canKick ? 1 : 0, i == AGENT_COUNT - 1 ? "" : ",");
+    }
+    std::printf("],\"bombs\":[");
+    for (int i = 0; i < s.bombs.count; i++)
+    {
+        Bomb b = s.bombs[i];
+        std::printf("[%d,%d,%d,%d,%d,%d]%s", BMB_POS_X(b), BMB_POS_Y(b),
+                    BMB_ID(b), BMB_STRENGTH(b), BMB_TIME(b), BMB_DIR(b),
+                    i == s.bombs.count - 1 ? "" : ",");
+    }
+    std::printf("],\"flames\":[");
+    for (int i = 0; i < s.flames.count; i++)
+    {
+        const Flame& f = s.flames[i];
+        std::printf("[%d,%d,%d,%d]%s", f.position.x, f.position.y, f.timeLeft,
+                    f.strength, i == s.flames.count - 1 ? "" : ",");
+    }
+    std::printf("],\"alive\":%d}\n", s.aliveAgents);
+}
+
+int main(int argc, char** argv)
+{
+    if (argc < 3) { std::fprintf(stderr, "usage: see header\n"); return 2; }
+    long seed = std::strtol(argv[2], nullptr, 0);
+
+    if (std::string(argv[1]) == "board")
+    {
+        auto s = std::make_unique<State>();
+        InitBoardItems(*s, (int)seed);
+        std::printf("[");
+        for (int y = 0; y < BOARD_SIZE; y++)
+            for (int x = 0; x < BOARD_SIZE; x++)
+                std::printf("%d%s", s->board[y][x],
+                            (y == BOARD_SIZE - 1 && x == BOARD_SIZE - 1) ? "" : ",");
+        std::printf("]\n");
+        return 0;
+    }
+
+    bool kick = std::string(argv[1]) == "kicktraj";
+    int steps = argc > 3 ? std::atoi(argv[3]) : 100;
+
+    auto s = std::make_unique<State>();
+    InitBoardItems(*s, (int)seed);
+    s->PutAgentsInCorners(0, 1, 2, 3);
+    if (kick)
+        for (int i = 0; i < AGENT_COUNT; i++) s->agents[i].canKick = true;
+
+    dumpState(*s);
+    Move m[AGENT_COUNT];
+    for (int t = 0; t < steps; t++)
+    {
+        int mv[4];
+        if (std::scanf("%d %d %d %d", &mv[0], &mv[1], &mv[2], &mv[3]) != 4)
+            break;
+        for (int i = 0; i < AGENT_COUNT; i++) m[i] = (Move)mv[i];
+        Step(s.get(), m);
+        dumpState(*s);
+        if (s->aliveAgents <= 1) break;
+    }
+    return 0;
+}
