@@ -1,0 +1,149 @@
+"""Game orchestration as pure functions (reference: Environment, L4).
+
+The reference ``Environment`` (pomcpp src/bboard/environment.cpp:48-215,
+include/bboard.hpp:541-644) is a stateful game-loop object: it owns the
+State, asks each agent for a move (optionally on threads), calls
+``bboard::Step``, advances ``timeStep`` and latches win/draw flags.
+
+TPU-native redesign: the environment is a PyTree (``EnvState``) and three
+pure functions --
+
+* ``env_reset(key)``     -- fresh game from an on-device random board
+* ``env_step(es, mv)``   -- one step + terminal detection, frozen when done
+* ``env_step_auto_reset``-- same, but finished games restart from a split key
+
+All are jittable and vmappable; a batch of games is just a leading axis.
+The reference's per-agent actor threads (CollectMovesAsync,
+environment.cpp:95-116) have no TPU analogue: policies are evaluated as a
+vmapped pure function over (board, agent), and the 100 ms "competitive
+pause" is dropped as wall-clock semantics that are meaningless on-device.
+"""
+
+from __future__ import annotations
+
+from typing import Callable, NamedTuple
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+from ..core.board_gen import init_state_np, random_state
+from ..core.constants import AGENT_COUNT
+from ..core.state import I32, State
+from ..engine.step import step
+
+
+class EnvState(NamedTuple):
+    game: State
+    done: jax.Array     # bool
+    winner: jax.Array   # i32, agent id or -1 (none / draw)
+    is_draw: jax.Array  # bool
+    key: jax.Array      # PRNG key consumed by auto-reset
+
+
+# A policy maps (key, game_state, agent_id) -> move code.  Policies see the
+# full state, like the reference's ``Agent::act(const State*)``
+# (bboard.hpp:517-533); fog-of-war wraps the state before the policy.
+Policy = Callable[[jax.Array, State, jax.Array], jax.Array]
+
+
+def _fresh(key: jax.Array) -> EnvState:
+    reset_key, next_key = jax.random.split(key)
+    return EnvState(
+        game=random_state(reset_key),
+        done=jnp.zeros((), bool),
+        winner=jnp.full((), -1, I32),
+        is_draw=jnp.zeros((), bool),
+        key=next_key,
+    )
+
+
+def env_reset(key: jax.Array) -> EnvState:
+    """Fresh single game; vmap over keys for a batch."""
+    return _fresh(key)
+
+
+def env_reset_np(seed: int = 0x1337, **kw) -> EnvState:
+    """Fresh game on the reference's exact board for ``seed`` (host-side)."""
+    return EnvState(
+        game=init_state_np(seed, **kw),
+        done=jnp.zeros((), bool),
+        winner=jnp.full((), -1, I32),
+        is_draw=jnp.zeros((), bool),
+        key=jax.random.PRNGKey(seed),
+    )
+
+
+def _detect_terminal(es: EnvState) -> EnvState:
+    """Win/draw latching after a step (environment.cpp:152-168)."""
+    alive = es.game.alive_count
+    won = alive == 1
+    # "The" surviving agent: reference takes the last live index in its scan;
+    # with exactly one survivor any selection rule agrees.
+    survivor = jnp.argmax(~es.game.agent_dead).astype(I32)
+    draw = alive == 0
+    return es._replace(
+        done=es.done | won | draw,
+        winner=jnp.where(won & ~es.done, survivor, es.winner),
+        is_draw=es.is_draw | (draw & ~es.done),
+    )
+
+
+def env_step(es: EnvState, moves) -> EnvState:
+    """One simultaneous step + timeStep advance + terminal detection.
+
+    Like ``Environment::Step`` (environment.cpp:123-168), a finished game is
+    frozen: stepping it is a no-op.
+    """
+    game = step(es.game, moves)
+    game = game._replace(timestep=game.timestep + 1)
+    nxt = _detect_terminal(es._replace(game=game))
+    return jax.tree.map(lambda a, b: jnp.where(es.done, a, b), es, nxt)
+
+
+def env_step_auto_reset(es: EnvState, moves) -> EnvState:
+    """``env_step``, but a game that finished restarts on its next step.
+
+    The episode outcome is readable for exactly one step (the step that set
+    ``done``); standard batched-RL semantics.
+    """
+    fresh = _fresh(es.key)
+    stepped = env_step(es, moves)
+    return jax.tree.map(lambda f, s: jnp.where(es.done, f, s), fresh, stepped)
+
+
+def act_all(policy: Policy, key: jax.Array, game: State) -> jax.Array:
+    """Evaluate one policy for all four agents -> i32[4] moves.
+
+    Dead agents get IDLE (the reference leaves their move slots uninitialized
+    -- environment.cpp:127-147 -- but the step engine never reads moves of
+    dead agents, so IDLE is observationally identical).
+    """
+    keys = jax.random.split(key, AGENT_COUNT)
+    ids = jnp.arange(AGENT_COUNT, dtype=I32)
+    moves = jax.vmap(policy, in_axes=(0, None, 0))(keys, game, ids)
+    return jnp.where(game.agent_dead, 0, moves).astype(I32)
+
+
+def rollout(es: EnvState, policy: Policy, n_steps: int, auto_reset: bool = True):
+    """Run ``n_steps`` with ``policy`` controlling all agents via lax.scan.
+
+    Returns ``(final_env, metrics)`` where metrics are per-step scalars
+    (done flags, winners, alive counts) stacked over time.  vmap over a
+    leading batch axis of ``es`` for lockstep parallel games.
+    """
+    stepper = env_step_auto_reset if auto_reset else env_step
+
+    def body(carry, _):
+        es = carry
+        act_key, next_key = jax.random.split(es.key)
+        es = es._replace(key=next_key)
+        moves = act_all(policy, act_key, es.game)
+        es = stepper(es, moves)
+        return es, {
+            "done": es.done,
+            "winner": es.winner,
+            "alive": es.game.alive_count,
+        }
+
+    return lax.scan(body, es, None, length=n_steps)
