@@ -1,0 +1,63 @@
+"""Throughput benchmark: env steps/s on one chip at 4096 parallel boards.
+
+Mirrors the reference's benchmark protocol (unit_test/bboard/
+performance_test.cpp:52-112: rounds of 1000 Environment::Step, report
+steps/time) scaled to the TPU execution model: 4096 lockstep boards vmapped
+through the jitted step kernel with random-move policies and auto-reset.
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+``vs_baseline`` compares against the reference's published 586,332 env
+steps per 100 ms (≈5.86 M steps/s on a 4-core Skylake i5, README.md:90-98).
+"""
+
+from __future__ import annotations
+
+import json
+import time
+
+import jax
+
+BASELINE_STEPS_PER_S = 5_863_320.0
+BATCH = 4096
+CHUNK = 256  # steps per device call
+ROUNDS = 6
+
+
+def main() -> None:
+    from pomcpp_tpu.agents import random_agent
+    from pomcpp_tpu.env import env_reset, rollout
+
+    keys = jax.random.split(jax.random.PRNGKey(0), BATCH)
+    es = jax.jit(jax.vmap(env_reset))(keys)
+    jax.block_until_ready(es)
+
+    run = jax.jit(
+        jax.vmap(lambda e: rollout(e, random_agent, CHUNK, auto_reset=True))
+    )
+
+    # Warmup / compile.
+    es, _ = run(es)
+    jax.block_until_ready(es)
+
+    best = 0.0
+    for _ in range(ROUNDS):
+        t0 = time.perf_counter()
+        es, metrics = run(es)
+        jax.block_until_ready(es)
+        dt = time.perf_counter() - t0
+        best = max(best, BATCH * CHUNK / dt)
+
+    print(
+        json.dumps(
+            {
+                "metric": "env_steps_per_s_single_chip_4096_boards",
+                "value": round(best, 1),
+                "unit": "steps/s",
+                "vs_baseline": round(best / BASELINE_STEPS_PER_S, 3),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,69 @@
+"""Device-mesh sharding of the board batch (SURVEY.md §2.6 P3/P6).
+
+The reference's only parallelism is one OS thread per independent
+``Environment`` (unit_test/bboard/performance_test.cpp:71-94) and one thread
+per agent inside a step (environment.cpp:95-116); it has no distributed
+backend at all.  The TPU-native scale-out axis is the *boards* batch
+dimension:
+
+* intra-chip: ``jax.vmap`` steps thousands of lockstep boards;
+* across chips/hosts: the batch is sharded over a 1-D ``boards`` mesh with
+  ``NamedSharding``; the per-board step needs no cross-board communication,
+  so the only collectives are metric/gradient reductions (``psum``), which
+  XLA lays onto ICI.
+
+TP/PP/SP meshes are deliberately absent: the state is 11x11 int cells and
+any learner at Pommerman scale is DP-only (SURVEY.md §2.6 P4/P5 -- recorded
+as N/A-by-design rather than cargo-culted).
+"""
+
+from __future__ import annotations
+
+from typing import Callable, Sequence
+
+import jax
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from ..env.environment import EnvState, Policy, rollout
+
+BOARDS_AXIS = "boards"
+
+
+def boards_mesh(devices: Sequence[jax.Device] | None = None) -> Mesh:
+    """1-D mesh over all (or the given) devices, axis name ``boards``."""
+    if devices is None:
+        devices = jax.devices()
+    return Mesh(np.asarray(devices), (BOARDS_AXIS,))
+
+
+def shard_env_batch(es: EnvState, mesh: Mesh) -> EnvState:
+    """Place a batched EnvState with its leading axis sharded over the mesh."""
+
+    def put(x):
+        spec = P(BOARDS_AXIS, *([None] * (x.ndim - 1)))
+        return jax.device_put(x, NamedSharding(mesh, spec))
+
+    return jax.tree.map(put, es)
+
+
+def sharded_rollout(
+    mesh: Mesh, policy: Policy, n_steps: int, auto_reset: bool = True
+) -> Callable:
+    """Compile a boards-sharded batched rollout.
+
+    Returns ``run(es) -> (final_es, metrics)`` where ``es`` is a batched
+    EnvState whose leading axis is divisible by the mesh size.  Outputs keep
+    the input sharding; XLA inserts no collectives for the env itself
+    (boards are independent) -- reductions belong to the caller/learner.
+    """
+    batch_rollout = jax.vmap(
+        lambda e: rollout(e, policy, n_steps, auto_reset=auto_reset)
+    )
+    spec = P(BOARDS_AXIS)
+    shardings = NamedSharding(mesh, spec)
+    return jax.jit(
+        batch_rollout,
+        in_shardings=(shardings,),
+        out_shardings=shardings,
+    )
