@@ -147,3 +147,46 @@ def rollout(es: EnvState, policy: Policy, n_steps: int, auto_reset: bool = True)
         }
 
     return lax.scan(body, es, None, length=n_steps)
+
+
+def rollout_stateful(
+    es: EnvState,
+    act_fn,
+    policy_state,
+    n_steps: int,
+    auto_reset: bool = True,
+    reset_policy_state=None,
+):
+    """Rollout for stateful policies (e.g. the SimpleAgent FSM).
+
+    ``act_fn(key, game, agent_id, pstate_i) -> (move, pstate_i')`` where
+    ``policy_state`` is a PyTree stacked over the 4 agents on its leading
+    axis.  When ``auto_reset`` fires and ``reset_policy_state`` is given,
+    the per-board policy state is replaced by it on episode restart.
+    """
+    stepper = env_step_auto_reset if auto_reset else env_step
+
+    def body(carry, _):
+        es, ps = carry
+        act_key, next_key = jax.random.split(es.key)
+        keys = jax.random.split(act_key, AGENT_COUNT)
+        ids = jnp.arange(AGENT_COUNT, dtype=I32)
+        moves, ps_new = jax.vmap(act_fn, in_axes=(0, None, 0, 0))(
+            keys, es.game, ids, ps
+        )
+        moves = jnp.where(es.game.agent_dead, 0, moves).astype(I32)
+        if auto_reset and reset_policy_state is not None:
+            ps_new = jax.tree.map(
+                lambda f, s: jnp.where(es.done, f, s), reset_policy_state, ps_new
+            )
+        es = stepper(es._replace(key=next_key), moves)
+        return (es, ps_new), {
+            "done": es.done,
+            "winner": es.winner,
+            "alive": es.game.alive_count,
+        }
+
+    (es, policy_state), metrics = lax.scan(
+        body, (es, policy_state), None, length=n_steps
+    )
+    return es, policy_state, metrics

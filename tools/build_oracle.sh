@@ -11,5 +11,8 @@ g++ -O2 -std=c++17 -ftrivial-auto-var-init=zero \
     /root/reference/src/bboard/bboard.cpp \
     /root/reference/src/bboard/step.cpp \
     /root/reference/src/bboard/step_utility.cpp \
+    /root/reference/src/bboard/strategy.cpp \
+    /root/reference/src/agents/simple_agent.cpp \
+    /root/reference/src/agents/basic_agents.cpp \
     -o build/oracle_dump
 echo "built build/oracle_dump"

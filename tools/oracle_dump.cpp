@@ -12,10 +12,15 @@
 //       step from stdin, Step(), and dump full state per step
 //   oracle_dump kicktraj <seed> <steps>
 //       same, but all agents get canKick=true first
+//   oracle_dump simple <seed> <steps>
+//       4 reference SimpleAgents whose public rng members are re-seeded with
+//       mt19937_64(seed*7919 + i); per step prints the chosen moves then the
+//       post-step state (dead agents act IDLE)
 
 #include <cstdio>
 #include <cstdlib>
 #include "bboard.hpp"
+#include "agents.hpp"
 
 using namespace bboard;
 
@@ -74,6 +79,37 @@ int main(int argc, char** argv)
                 std::printf("%d%s", s->board[y][x],
                             (y == BOARD_SIZE - 1 && x == BOARD_SIZE - 1) ? "" : ",");
         std::printf("]\n");
+        return 0;
+    }
+
+    if (std::string(argv[1]) == "simple")
+    {
+        int steps = argc > 3 ? std::atoi(argv[3]) : 100;
+        auto s = std::make_unique<State>();
+        InitBoardItems(*s, (int)seed);
+        s->PutAgentsInCorners(0, 1, 2, 3);
+
+        agents::SimpleAgent ag[AGENT_COUNT];
+        for (int i = 0; i < AGENT_COUNT; i++)
+        {
+            ag[i].id = i;
+            // Replace the random_device seeding with a reproducible stream
+            // (rng is a public member, agents.hpp:56).
+            ag[i].rng = std::mt19937_64((unsigned long long)seed * 7919u + i);
+        }
+
+        dumpState(*s);
+        Move m[AGENT_COUNT];
+        for (int t = 0; t < steps; t++)
+        {
+            for (int i = 0; i < AGENT_COUNT; i++)
+                m[i] = s->agents[i].dead ? Move::IDLE : ag[i].act(s.get());
+            std::printf("{\"moves\":[%d,%d,%d,%d]}\n", (int)m[0], (int)m[1],
+                        (int)m[2], (int)m[3]);
+            Step(s.get(), m);
+            dumpState(*s);
+            if (s->aliveAgents <= 1) break;
+        }
         return 0;
     }
 
