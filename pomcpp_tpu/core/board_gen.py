@@ -157,3 +157,13 @@ def random_state(key: jax.Array) -> State:
     s = empty_state()
     s = s._replace(board=board, hidden_pow=hidden)
     return put_agents_in_corners(s, 0, 1, 2, 3)
+
+
+def random_cell_state(key: jax.Array):
+    """On-device fresh plane-encoded game state (engine.cellular)."""
+    from ..engine.cellular import empty_cell_state
+
+    board, hidden = random_board(key)
+    cs = empty_cell_state()._replace(board=board, hidden_pow=hidden)
+    # put_agents_in_corners is duck-typed over board/agent_x/agent_y.
+    return put_agents_in_corners(cs, 0, 1, 2, 3)

@@ -1,0 +1,670 @@
+"""The cellular step engine: the TPU-native production path.
+
+The exact engine (engine/step.py) replicates the reference's queue-and-
+recursion architecture bit-for-bit; it is the conformance oracle, but its
+program is ~12k ops of scalar gathers and nested loops -- hostile to XLA/TPU.
+This module re-derives the same game as a *cellular automaton* over per-cell
+planes, which is the form the hardware wants: every phase is a handful of
+[121]-wide vector ops (vmapped to [B, 121]), no data-dependent queues, no
+recursion, one short while_loop for explosion chain rounds.
+
+Key equivalences that make the plane representation faithful:
+
+* Flame signatures ("only vanish your own flame", bboard.cpp:148-180) are
+  equivalent to a per-cell last-write timer: a flame cell is cleared exactly
+  FLAME_LIFETIME steps after the last flame wrote it, because all flame
+  records carry the same lifetime.
+* The bomb queue's "explode from the front while timer==0" sweep
+  (step_utility.cpp:224-245) equals "explode every timer==0 bomb": timers
+  are planted equal and tick together, so they are monotone along the queue.
+* At most one bomb occupies a cell (collision resolution guarantees it), so
+  bombs are per-cell planes {timer, strength, dir, owner}.
+
+Documented divergences from the reference (all quantified in
+tests/test_cellular.py; each is an explicit rule choice, not an accident):
+
+1. Planting on a cell that already holds a bomb is refused.  The reference
+   allows stacking two bombs on one cell (PlantBomb checks only the count,
+   bboard.cpp:125-146) -- a queue artifact standard Pommerman rejects.
+2. A fresh plant always starts with direction IDLE.  The reference recycles
+   queue slots without resetting direction (bboard.cpp:125-146), so a new
+   bomb can inherit a stale direction and slide on its own.
+3. Explosion chains run in breadth-first rounds on the round-start board
+   instead of depth-first with suspend/resume; visible only when two same-
+   step rays compete for one wood cell or a chain re-orders flame overwrite.
+4. Simultaneous multi-chain bounce-backs and multi-bomb pileups resolve in
+   cell order rather than queue order.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+from ..core.constants import (
+    AGENT_COUNT,
+    BOARD_SIZE,
+    BOMB_LIFETIME,
+    C_AGENT0,
+    C_BOMB,
+    C_EXTRABOMB,
+    C_FLAME,
+    C_INCRRANGE,
+    C_KICK,
+    C_PASSAGE,
+    C_RIGID,
+    C_WOOD,
+    FLAME_LIFETIME,
+    M_BOMB,
+    MOVE_DX,
+    MOVE_DY,
+    NUM_CELLS,
+)
+from ..core import queue as q
+from ..core.state import I32, State, flag_item, is_agent, is_powerup, is_walkable
+
+BOOL = jnp.bool_
+_DX = jnp.asarray(MOVE_DX, I32)
+_DY = jnp.asarray(MOVE_DY, I32)
+
+# Direction codes reuse move codes 1..4 (UP=-y, DOWN=+y, LEFT=-x, RIGHT=+x).
+
+
+class CellState(NamedTuple):
+    """Plane-encoded game state; a batch is a leading axis (vmap)."""
+
+    board: jax.Array          # i32[121] cell classes (C_*)
+    hidden_pow: jax.Array     # i32[121] hidden powerup under WOOD / in FLAME
+    flame_timer: jax.Array    # i32[121] steps until flame clears (0 = none)
+    bomb_timer: jax.Array     # i32[121] ticks to explosion (0 = no bomb)
+    bomb_strength: jax.Array  # i32[121] blast radius (stored at plant)
+    bomb_dir: jax.Array       # i32[121] sliding direction (0 = idle)
+    bomb_owner: jax.Array     # i32[121] owner agent id
+
+    agent_x: jax.Array        # i32[4]
+    agent_y: jax.Array        # i32[4]
+    agent_bomb_count: jax.Array
+    agent_max_bombs: jax.Array
+    agent_strength: jax.Array
+    agent_can_kick: jax.Array  # bool[4]
+    agent_dead: jax.Array      # bool[4]
+
+    alive_count: jax.Array    # i32
+    timestep: jax.Array       # i32
+
+
+# --- Plane shifts (flat [..., 121] arrays, row-major y, x fastest) -----------
+
+
+def _shift(plane, dir_code: int, fill):
+    """Value of the direction-predecessor cell: shifted[c] = plane[c - dir]."""
+    p = plane.reshape(plane.shape[:-1] + (BOARD_SIZE, BOARD_SIZE))
+    f = jnp.full_like(p[..., :1, :], fill)
+    fc = jnp.full_like(p[..., :, :1], fill)
+    if dir_code == 1:    # UP: predecessor is below (y+1)
+        s = jnp.concatenate([p[..., 1:, :], f], axis=-2)
+    elif dir_code == 2:  # DOWN: predecessor is above (y-1)
+        s = jnp.concatenate([f, p[..., :-1, :]], axis=-2)
+    elif dir_code == 3:  # LEFT: predecessor is right (x+1)
+        s = jnp.concatenate([p[..., :, 1:], fc], axis=-1)
+    else:                # RIGHT: predecessor is left (x-1)
+        s = jnp.concatenate([fc, p[..., :, :-1]], axis=-1)
+    return s.reshape(plane.shape)
+
+
+def _cell(x, y):
+    return x + BOARD_SIZE * y
+
+
+def empty_cell_state() -> CellState:
+    """All-passage board, agents at (0,0), default stats (cf. empty_state)."""
+    zc = jnp.zeros((NUM_CELLS,), I32)
+    za = jnp.zeros((AGENT_COUNT,), I32)
+    return CellState(
+        board=zc,
+        hidden_pow=zc,
+        flame_timer=zc,
+        bomb_timer=zc,
+        bomb_strength=zc,
+        bomb_dir=zc,
+        bomb_owner=zc,
+        agent_x=za,
+        agent_y=za,
+        agent_bomb_count=za,
+        agent_max_bombs=jnp.ones((AGENT_COUNT,), I32),
+        agent_strength=jnp.ones((AGENT_COUNT,), I32),
+        agent_can_kick=jnp.zeros((AGENT_COUNT,), BOOL),
+        agent_dead=jnp.zeros((AGENT_COUNT,), BOOL),
+        alive_count=jnp.asarray(AGENT_COUNT, I32),
+        timestep=jnp.zeros((), I32),
+    )
+
+
+# --- Conversion from the queue-encoded exact state ---------------------------
+
+
+def from_state(s: State) -> CellState:
+    """Scatter the queue state into planes (for tests and interop)."""
+    n = s.bombs.x.shape[0]
+    li = jnp.arange(n)
+    lv = lambda f: q.logical_view(f, s.bomb_head)
+    bx, by = lv(s.bombs.x), lv(s.bombs.y)
+    valid = li < s.bomb_count
+    c = jnp.clip(_cell(bx, by), 0, NUM_CELLS - 1)
+    zero = jnp.zeros((NUM_CELLS,), I32)
+
+    def scat(field):
+        return zero.at[c].max(jnp.where(valid, lv(field), 0))
+
+    bomb_timer = scat(s.bombs.timer)
+    bomb_strength = scat(s.bombs.strength)
+    bomb_dir = scat(s.bombs.dir)
+    bomb_owner = scat(s.bombs.id)
+
+    # Flame timers: each FLAME cell expires with its owning record.
+    fn = s.flames.x.shape[0]
+    fli = jnp.arange(fn)
+    flv = lambda f: q.logical_view(f, s.flame_head)
+    fx, fy, ft = flv(s.flames.x), flv(s.flames.y), flv(s.flames.timer)
+    fvalid = fli < s.flame_count
+    sig = _cell(fx, fy)
+    # timer of the record whose origin equals this cell's signature
+    match = fvalid[None, :] & (sig[None, :] == s.flame_sig[:, None])
+    flame_timer = jnp.max(
+        jnp.where(match, ft[None, :], 0), axis=1
+    ) * (s.board == C_FLAME)
+
+    return CellState(
+        board=s.board,
+        hidden_pow=s.hidden_pow,
+        flame_timer=flame_timer.astype(I32),
+        bomb_timer=bomb_timer,
+        bomb_strength=bomb_strength,
+        bomb_dir=bomb_dir,
+        bomb_owner=bomb_owner,
+        agent_x=s.agent_x,
+        agent_y=s.agent_y,
+        agent_bomb_count=s.agent_bomb_count,
+        agent_max_bombs=s.agent_max_bombs,
+        agent_strength=s.agent_strength,
+        agent_can_kick=s.agent_can_kick,
+        agent_dead=s.agent_dead,
+        alive_count=s.alive_count,
+        timestep=s.timestep,
+    )
+
+
+# --- Phase 0: flame decay ----------------------------------------------------
+
+
+def _tick_flames(cs: CellState) -> CellState:
+    ft = jnp.maximum(cs.flame_timer - 1, 0)
+    expired = (ft == 0) & (cs.board == C_FLAME)
+    board = jnp.where(expired, flag_item(cs.hidden_pow & 0b11), cs.board)
+    return cs._replace(
+        board=board.astype(I32),
+        hidden_pow=jnp.where(expired, 0, cs.hidden_pow),
+        flame_timer=ft,
+    )
+
+
+# --- Phase 1: agent movement -------------------------------------------------
+
+
+def _fix_switch(ax, ay, dx, dy):
+    """FixSwitchMove (step_utility.cpp:154-170), same pair order."""
+    for i in range(AGENT_COUNT):
+        for j in range(i, AGENT_COUNT):
+            swap = (
+                (dx[i] == ax[j]) & (dy[i] == ay[j])
+                & (dx[j] == ax[i]) & (dy[j] == ay[i])
+            )
+            dx = dx.at[i].set(jnp.where(swap, ax[i], dx[i]))
+            dy = dy.at[i].set(jnp.where(swap, ay[i], dy[i]))
+            dx = dx.at[j].set(jnp.where(swap, ax[j], dx[j]))
+            dy = dy.at[j].set(jnp.where(swap, ay[j], dy[j]))
+    return dx, dy
+
+
+def _move_agents(cs: CellState, moves):
+    alive = ~cs.agent_dead
+    m = jnp.clip(moves, 0, 5)
+    directional = (m >= 1) & (m <= 4)
+    ax, ay = cs.agent_x, cs.agent_y
+    dx = ax + _DX[m]
+    dy = ay + _DY[m]
+    dx, dy = _fix_switch(ax, ay, dx, dy)
+    # Post-switch-fix a "mover" must still leave its cell.
+    directional = directional & ((dx != ax) | (dy != ay))
+
+    inb = (dx >= 0) & (dy >= 0) & (dx < BOARD_SIZE) & (dy < BOARD_SIZE)
+    dc = jnp.clip(_cell(dx, dy), 0, NUM_CELLS - 1)
+    oc = _cell(ax, ay)
+    dest_item = cs.board[dc]
+
+    # Ouroboros: nobody is a movement root (step_utility.cpp:172-205).
+    targets_other = (
+        alive[None, :]
+        & (jnp.arange(4)[:, None] != jnp.arange(4)[None, :])
+        & (dx[:, None] == ax[None, :])
+        & (dy[:, None] == ay[None, :])
+    )  # [i, j]: i wants j's cell
+    is_root = cs.agent_dead | ~jnp.any(targets_other, axis=1)
+    ouroboros = ~jnp.any(is_root)
+
+    # Flame deaths (step.cpp:84-99).
+    victim = alive & directional & inb & (dest_item == C_FLAME)
+
+    # Destination collisions among live non-victims (step_utility.cpp:264-277).
+    cand = alive & ~victim
+    same_dest = (
+        cand[None, :]
+        & (jnp.arange(4)[:, None] != jnp.arange(4)[None, :])
+        & (dx[:, None] == dx[None, :])
+        & (dy[:, None] == dy[None, :])
+    )
+    coll = jnp.any(same_dest, axis=1)
+
+    base = alive & directional & inb & ~victim & ~coll
+    enterable = (
+        (dest_item == C_PASSAGE) | is_powerup(dest_item) | (dest_item == C_BOMB)
+    )
+    dest_agent = is_agent(dest_item)
+    dest_aid = jnp.clip(dest_item - C_AGENT0, 0, 3)
+
+    # Chain fixed point: entering an occupied cell requires its occupant to
+    # vacate (move or die); a 4-cycle rotates unconditionally (step.cpp:70-82).
+    move = jnp.zeros((4,), BOOL)
+    for _ in range(AGENT_COUNT):
+        vacating = dest_agent & (move[dest_aid] | victim[dest_aid])
+        move = base & (enterable | vacating | (ouroboros & dest_agent))
+
+    # Kicks: mover onto a bomb cell with canKick (step.cpp:147-169).
+    has_bomb_dest = cs.bomb_timer[dc] > 0
+    kick = move & cs.agent_can_kick & has_bomb_dest
+    bomb_dir = cs.bomb_dir.at[dc].set(
+        jnp.where(kick, m, cs.bomb_dir[dc])
+    )
+
+    # Powerups (step.cpp:111-114, step_utility.cpp:247-262).
+    take = move & is_powerup(dest_item)
+    max_bombs = cs.agent_max_bombs + (take & (dest_item == C_EXTRABOMB))
+    strength = cs.agent_strength + (take & (dest_item == C_INCRRANGE))
+    can_kick = cs.agent_can_kick | (take & (dest_item == C_KICK))
+
+    # Board: vacate origins of movers and flame victims, then place movers.
+    vacate = move | victim
+    vac_val = jnp.where(cs.bomb_timer[oc] > 0, C_BOMB, C_PASSAGE).astype(I32)
+    board = cs.board.at[oc].set(
+        jnp.where(vacate, vac_val, cs.board[oc])
+    )
+    board = board.at[dc].set(
+        jnp.where(move, C_AGENT0 + jnp.arange(4, dtype=I32), board[dc])
+    )
+
+    # Deaths.
+    dead = cs.agent_dead | victim
+    alive_count = cs.alive_count - jnp.sum(victim).astype(I32)
+
+    nx = jnp.where(move, dx, ax)
+    ny = jnp.where(move, dy, ay)
+
+    # Plants: BOMB move, capacity left, no bomb already here (divergence #1).
+    pc = _cell(nx, ny)  # planters never move; pc == oc for them
+    plant = (
+        alive
+        & (moves == M_BOMB)
+        & (cs.agent_bomb_count < cs.agent_max_bombs)
+        & (cs.bomb_timer[oc] == 0)
+    )
+    ids = jnp.arange(4, dtype=I32)
+    bomb_timer = cs.bomb_timer.at[pc].set(
+        jnp.where(plant, BOMB_LIFETIME + 1, cs.bomb_timer[pc])
+    )
+    bomb_strength = cs.bomb_strength.at[pc].set(
+        jnp.where(plant, cs.agent_strength, cs.bomb_strength[pc])
+    )
+    bomb_owner = cs.bomb_owner.at[pc].set(
+        jnp.where(plant, ids, cs.bomb_owner[pc])
+    )
+    bomb_dir2 = bomb_dir.at[pc].set(jnp.where(plant, 0, bomb_dir[pc]))
+    bomb_count = cs.agent_bomb_count + plant.astype(I32)
+
+    return cs._replace(
+        board=board,
+        bomb_timer=bomb_timer,
+        bomb_strength=bomb_strength,
+        bomb_dir=bomb_dir2,
+        bomb_owner=bomb_owner,
+        agent_x=nx,
+        agent_y=ny,
+        agent_bomb_count=bomb_count,
+        agent_max_bombs=max_bombs.astype(I32),
+        agent_strength=strength.astype(I32),
+        agent_can_kick=can_kick,
+        agent_dead=dead,
+        alive_count=alive_count,
+    )
+
+
+# --- Phase 2: bomb kinematics ------------------------------------------------
+
+
+def _bomb_dest_cell(cs: CellState):
+    """Destination cell index of each bomb cell (-1 when OOB)."""
+    idx = jnp.arange(NUM_CELLS, dtype=I32)
+    x = idx % BOARD_SIZE
+    y = idx // BOARD_SIZE
+    d = jnp.clip(cs.bomb_dir, 0, 4)
+    tx = x + _DX[d]
+    ty = y + _DY[d]
+    oob = (tx < 0) | (ty < 0) | (tx >= BOARD_SIZE) | (ty >= BOARD_SIZE)
+    return jnp.where(oob, -1, _cell(jnp.clip(tx, 0, BOARD_SIZE - 1),
+                                    jnp.clip(ty, 0, BOARD_SIZE - 1))), oob
+
+
+def _static_block(item):
+    return (item == C_RIGID) | (item == C_WOOD) | is_powerup(item)
+
+
+def _revert_chain(cs: CellState, moves, trigger, bdest0):
+    """AgentBombChainReversion (step_utility.cpp:62-128), vectorized.
+
+    ``trigger`` is a bool[4] mask of agents to bounce back; chains cascade
+    through displaced agents and kicked bombs destined for vacated cells.
+    ``bdest0`` is the stale phase-start destination plane (the reference
+    fills bomb destinations once, step.cpp:191-192).
+    """
+    agent_ids = jnp.arange(4, dtype=I32)
+    eye = agent_ids[:, None] == agent_ids[None, :]
+    m = jnp.clip(moves, 0, 5)
+    mdx = _DX[m]
+    mdy = _DY[m]
+
+    def link(carry, _):
+        board, ax, ay, bomb_dir, cur, done = carry
+        ox = ax - mdx
+        oy = ay - mdy
+        oinb = (ox >= 0) & (oy >= 0) & (ox < BOARD_SIZE) & (oy < BOARD_SIZE)
+        act = cur & oinb
+        done = done | act
+        oc = jnp.clip(_cell(ox, oy), 0, NUM_CELLS - 1)
+
+        # Occupant of each origin cell (get_agent, bboard.cpp:289-299).
+        here = (
+            ~cs.agent_dead[None, :]
+            & (ax[None, :] == ox[:, None])
+            & (ay[None, :] == oy[:, None])
+            & ~eye
+        )  # [i, j]: agent j stands at i's origin
+        occ = jnp.where(
+            jnp.any(here, axis=1), jnp.argmax(here, axis=1), -1
+        ).astype(I32)
+
+        # Bomb handling runs only when no agent occupies the origin
+        # (step_utility.cpp:70-121: the agent branch takes priority).
+        no_occ = act & (occ < 0)
+        wanted = jnp.zeros((NUM_CELLS,), BOOL).at[oc].max(no_occ)
+        bomb_to_oc = (
+            (cs.bomb_timer > 0) & (bdest0 >= 0)
+            & wanted[jnp.clip(bdest0, 0, NUM_CELLS - 1)]
+        )
+        # Self-laid idle bombs (dest == own cell) just get the agent back on
+        # top (step_utility.cpp:101-106); moving bombs are stopped in place.
+        moving_bomb = bomb_to_oc & (bomb_dir != 0)
+        bomb_dir = jnp.where(moving_bomb, 0, bomb_dir)
+        board = jnp.where(moving_bomb & ~is_agent(board), C_BOMB, board)
+
+        # Move the reverting agents back.
+        board = board.at[oc].set(
+            jnp.where(act, C_AGENT0 + agent_ids, board[oc])
+        )
+        ax = jnp.where(act, ox, ax)
+        ay = jnp.where(act, oy, ay)
+
+        # Next links: displaced occupants, plus agents standing where a
+        # moving bomb was just stopped (step_utility.cpp:113-120).
+        nxt = jnp.zeros((4,), BOOL).at[jnp.clip(occ, 0, 3)].max(
+            act & (occ >= 0)
+        )
+        on_stopped = moving_bomb[_cell(ax, ay)] & ~cs.agent_dead
+        cur = (nxt | on_stopped) & ~done
+        return (board, ax, ay, bomb_dir, cur, done), None
+
+    (board, ax, ay, bomb_dir, _, _), _ = lax.scan(
+        link,
+        (cs.board, cs.agent_x, cs.agent_y, cs.bomb_dir, trigger,
+         jnp.zeros((4,), BOOL)),
+        None,
+        length=AGENT_COUNT + 2,
+    )
+    return cs._replace(board=board, agent_x=ax, agent_y=ay, bomb_dir=bomb_dir)
+
+
+def _restore_bomb_items(cs: CellState) -> CellState:
+    """Show C_BOMB on bomb cells no live agent stands on (post-reversion)."""
+    occupied = jnp.zeros((NUM_CELLS,), BOOL).at[
+        _cell(cs.agent_x, cs.agent_y)
+    ].max(~cs.agent_dead)
+    show = (cs.bomb_timer > 0) & ~occupied & is_agent(cs.board)
+    return cs._replace(
+        board=jnp.where(show, C_BOMB, cs.board).astype(I32)
+    )
+
+
+def _bomb_phase(cs: CellState, moves, old_x, old_y):
+    """Block pass + move pass (step.cpp:188-278).  Returns (cs, slide_explode)."""
+    bdest0, _ = _bomb_dest_cell(cs)
+    bdest0 = jnp.where(cs.bomb_timer > 0, bdest0, -2)
+
+    directional_move = (moves >= 1) & (moves <= 4)
+    agent_moved = (cs.agent_x != old_x) | (cs.agent_y != old_y)
+
+    # --- Block pass (step.cpp:195-227): two rounds, because a reversion can
+    # land an agent on another bomb's target and block it too.  A bomb is
+    # "blocked" when its target cell (own cell for idle bombs) is OOB, a
+    # static item, or an agent -- the idle-bomb-with-walker case is exactly
+    # how the reference bounces back non-kick walkers.
+    for _ in range(2):
+        dest, oob = _bomb_dest_cell(cs)
+        dest_item = cs.board[jnp.clip(dest, 0, NUM_CELLS - 1)]
+        blocked = (cs.bomb_timer > 0) & (
+            oob | _static_block(dest_item) | is_agent(dest_item)
+        )
+        pos_of = _cell(cs.agent_x, cs.agent_y)
+        trigger = (
+            ~cs.agent_dead
+            & blocked[pos_of]
+            & directional_move
+            & agent_moved
+        )
+        cs = cs._replace(bomb_dir=jnp.where(blocked, 0, cs.bomb_dir))
+        cs = _revert_chain(cs, moves, trigger, bdest0)
+        cs = _restore_bomb_items(cs)
+        agent_moved = (cs.agent_x != old_x) | (cs.agent_y != old_y)
+
+    # --- Move pass (step.cpp:230-278).
+    dest, oob = _bomb_dest_cell(cs)
+    has_bomb = cs.bomb_timer > 0
+    dest_item = cs.board[jnp.clip(dest, 0, NUM_CELLS - 1)]
+    can_enter = ~oob & ~_static_block(dest_item)
+    moving = has_bomb & (cs.bomb_dir != 0)
+
+    # Collisions: >= 2 bombs targeting one cell all stop (an idle bomb's
+    # target is its own cell, step_utility.cpp:279-329).
+    own = jnp.arange(NUM_CELLS, dtype=I32)
+    dest_cnt = jnp.where(moving, dest, own)
+    valid = has_bomb & (dest_cnt >= 0)
+    dc_safe = jnp.clip(dest_cnt, 0, NUM_CELLS - 1)
+    targets = jnp.zeros((NUM_CELLS,), I32).at[dc_safe].add(valid.astype(I32))
+    collide = valid & (targets[dc_safe] >= 2)
+    stopped_kick = collide & moving
+    cs = cs._replace(
+        bomb_dir=jnp.where(collide | (moving & ~can_enter), 0, cs.bomb_dir)
+    )
+
+    # Kicker bounce-back for stopped kicked bombs (step_utility.cpp:313-327).
+    pos_of = _cell(cs.agent_x, cs.agent_y)
+    trigger = (
+        ~cs.agent_dead & stopped_kick[pos_of] & directional_move
+    )
+    cs = _revert_chain(cs, moves, trigger, bdest0)
+    cs = _restore_bomb_items(cs)
+
+    # Surviving movers advance one cell (unique destinations by collision).
+    do_move = (cs.bomb_timer > 0) & (cs.bomb_dir != 0) & can_enter & ~collide
+    dsafe = jnp.clip(dest, 0, NUM_CELLS - 1)
+
+    def advance(plane):
+        stay = jnp.where(do_move, 0, plane)
+        incoming = jnp.zeros_like(plane).at[dsafe].max(
+            jnp.where(do_move, plane, 0)
+        )
+        return jnp.maximum(stay, incoming)
+
+    moved_planes = cs._replace(
+        bomb_timer=advance(cs.bomb_timer),
+        bomb_strength=advance(cs.bomb_strength),
+        bomb_dir=advance(cs.bomb_dir),
+        bomb_owner=advance(cs.bomb_owner),
+    )
+
+    # Board bookkeeping (step.cpp:255-272): vacated bomb cells revert to
+    # passage, entered walkable cells show the bomb, and a bomb arriving on
+    # a flame cell explodes (handled by phase 3 with live owner strength).
+    arrived = jnp.zeros((NUM_CELLS,), BOOL).at[dsafe].max(do_move)
+    vacated = do_move & (cs.board == C_BOMB) & (moved_planes.bomb_timer == 0)
+    board = jnp.where(vacated, C_PASSAGE, cs.board)
+    slide_explode = arrived & (board == C_FLAME)
+    board = jnp.where(arrived & is_walkable(board), C_BOMB, board)
+    cs = moved_planes._replace(board=board.astype(I32))
+    return cs, slide_explode
+
+
+# --- Phase 3: explosions -----------------------------------------------------
+
+
+def _explode(cs: CellState, slide_explode):
+    """Tick timers, explode timer==0 and slid-into-flame bombs, chain in
+    rounds, write flames (per-cell timers), kill agents, burn wood."""
+    has_bomb = cs.bomb_timer > 0
+    timer = jnp.where(has_bomb, cs.bomb_timer - 1, 0)
+    cs = cs._replace(bomb_timer=jnp.where(slide_explode, cs.bomb_timer, timer))
+
+    first = (cs.bomb_timer == 0) & has_bomb | slide_explode
+    # Stored strength for timer explosions (ExplodeTopBomb, bboard.cpp:191),
+    # owner's live strength for slide/chained ones (ExplodeBombAt, :111).
+    live = slide_explode
+
+    _NEG = -1000
+
+    def _ray_reach(board, origin_allowance):
+        """Blocked max-plus scan: per cell, the best allowance ARRIVING from
+        an explosion along each of the 4 axis directions.
+
+        Segment element: (a = best allowance exiting the segment, t = whole
+        segment transmits, L = length).  Composition is associative, so the
+        11-cell rays reduce to log-depth ``lax.associative_scan``s.
+        """
+        transmit = (board != C_RIGID) & (board != C_WOOD)
+        a0 = origin_allowance  # s at exploding cells, _NEG elsewhere
+
+        def compose(x, y):
+            ax_, tx, lx = x
+            ay_, ty, ly = y
+            a = jnp.maximum(ay_, jnp.where(ty, ax_ - ly, _NEG))
+            return a, tx & ty, lx + ly
+
+        def scan_axis(axis, reverse):
+            a = a0.reshape(BOARD_SIZE, BOARD_SIZE)
+            t = transmit.reshape(BOARD_SIZE, BOARD_SIZE)
+            length = jnp.ones((BOARD_SIZE, BOARD_SIZE), I32)
+            aa, _, _ = lax.associative_scan(
+                compose, (a, t, length), axis=axis, reverse=reverse
+            )
+            # Exclusive: allowance exiting the neighbor BEFORE each cell.
+            pad = jnp.full((BOARD_SIZE,), _NEG, I32)
+            if axis == 0:
+                prev = (
+                    jnp.vstack([aa[1:], pad[None]]) if reverse
+                    else jnp.vstack([pad[None], aa[:-1]])
+                )
+            else:
+                prev = (
+                    jnp.hstack([aa[:, 1:], pad[:, None]]) if reverse
+                    else jnp.hstack([pad[:, None], aa[:, :-1]])
+                )
+            return (prev - 1).reshape(NUM_CELLS)
+
+        down = scan_axis(0, False)   # flame travelling +y
+        up = scan_axis(0, True)      # -y
+        right = scan_axis(1, False)  # +x
+        left = scan_axis(1, True)    # -x
+        best = jnp.maximum(jnp.maximum(down, up), jnp.maximum(right, left))
+        return best
+
+    def round_body(carry):
+        cs, explode, live, _ = carry
+        owner = jnp.clip(cs.bomb_owner, 0, 3)
+        s_cell = jnp.where(
+            live, cs.agent_strength[owner], cs.bomb_strength
+        )
+
+        arriving = _ray_reach(
+            cs.board, jnp.where(explode, s_cell, _NEG).astype(I32)
+        )
+        burn = explode | ((arriving >= 0) & (cs.board != C_RIGID))
+
+        # Remove exploded bombs; refund their owners.
+        refund = jnp.zeros((4,), I32).at[owner].add(explode.astype(I32))
+        was_wood = burn & (cs.board == C_WOOD)
+        kill_cell = burn & is_agent(cs.board)
+        victims = jnp.zeros((4,), BOOL).at[
+            jnp.clip(cs.board - C_AGENT0, 0, 3)
+        ].max(kill_cell)
+        newly_dead = victims & ~cs.agent_dead
+
+        # Chain: surviving bombs under flames explode next round, with the
+        # owner's live strength.
+        next_explode = burn & (cs.bomb_timer > 0) & ~explode
+
+        cs = cs._replace(
+            board=jnp.where(burn, C_FLAME, cs.board).astype(I32),
+            hidden_pow=jnp.where(
+                burn, jnp.where(was_wood, cs.hidden_pow, 0), cs.hidden_pow
+            ),
+            flame_timer=jnp.where(burn, FLAME_LIFETIME, cs.flame_timer),
+            bomb_timer=jnp.where(explode, 0, cs.bomb_timer),
+            bomb_strength=jnp.where(explode, 0, cs.bomb_strength),
+            bomb_dir=jnp.where(explode, 0, cs.bomb_dir),
+            bomb_owner=jnp.where(explode, 0, cs.bomb_owner),
+            agent_bomb_count=cs.agent_bomb_count - refund,
+            agent_dead=cs.agent_dead | victims,
+            alive_count=cs.alive_count - jnp.sum(newly_dead).astype(I32),
+        )
+        return cs, next_explode, next_explode, jnp.any(next_explode)
+
+    def cond(carry):
+        return carry[3]
+
+    cs, _, _, _ = lax.while_loop(
+        cond, round_body, (cs, first, live, jnp.any(first))
+    )
+    return cs
+
+
+# --- The step ----------------------------------------------------------------
+
+
+def cellular_step(cs: CellState, moves) -> CellState:
+    """One simultaneous step over plane state.  Pure, jittable, vmappable."""
+    moves = jnp.asarray(moves, I32)
+    cs = _tick_flames(cs)
+    old_x, old_y = cs.agent_x, cs.agent_y
+    cs = _move_agents(cs, moves)
+    cs, slide = _bomb_phase(cs, moves, old_x, old_y)
+    cs = _explode(cs, slide)
+    return cs

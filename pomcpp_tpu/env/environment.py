@@ -27,9 +27,10 @@ import jax
 import jax.numpy as jnp
 from jax import lax
 
-from ..core.board_gen import init_state_np, random_state
+from ..core.board_gen import init_state_np, random_cell_state, random_state
 from ..core.constants import AGENT_COUNT
 from ..core.state import I32, State
+from ..engine.cellular import CellState, cellular_step
 from ..engine.step import step
 
 
@@ -47,10 +48,16 @@ class EnvState(NamedTuple):
 Policy = Callable[[jax.Array, State, jax.Array], jax.Array]
 
 
-def _fresh(key: jax.Array) -> EnvState:
+def _step_fn(game):
+    """Dispatch on the state representation: exact queues vs cellular planes."""
+    return cellular_step if isinstance(game, CellState) else step
+
+
+def _fresh(key: jax.Array, engine: str = "exact") -> EnvState:
     reset_key, next_key = jax.random.split(key)
+    make = random_cell_state if engine == "cellular" else random_state
     return EnvState(
-        game=random_state(reset_key),
+        game=make(reset_key),
         done=jnp.zeros((), bool),
         winner=jnp.full((), -1, I32),
         is_draw=jnp.zeros((), bool),
@@ -58,9 +65,14 @@ def _fresh(key: jax.Array) -> EnvState:
     )
 
 
-def env_reset(key: jax.Array) -> EnvState:
-    """Fresh single game; vmap over keys for a batch."""
-    return _fresh(key)
+def env_reset(key: jax.Array, engine: str = "exact") -> EnvState:
+    """Fresh single game; vmap over keys for a batch.
+
+    ``engine="cellular"`` uses the plane-encoded production state
+    (engine/cellular.py) -- the TPU fast path; ``"exact"`` uses the
+    queue-encoded conformance state (engine/step.py).
+    """
+    return _fresh(key, engine)
 
 
 def env_reset_np(seed: int = 0x1337, **kw) -> EnvState:
@@ -74,14 +86,32 @@ def env_reset_np(seed: int = 0x1337, **kw) -> EnvState:
     )
 
 
-def _detect_terminal(es: EnvState) -> EnvState:
-    """Win/draw latching after a step (environment.cpp:152-168)."""
-    alive = es.game.alive_count
-    won = alive == 1
-    # "The" surviving agent: reference takes the last live index in its scan;
-    # with exactly one survivor any selection rule agrees.
-    survivor = jnp.argmax(~es.game.agent_dead).astype(I32)
-    draw = alive == 0
+# Classic Pommerman 2v2 teams: agents {0, 2} vs {1, 3}.
+TEAM_OF = (0, 1, 0, 1)
+
+
+def _detect_terminal(es: EnvState, team_mode: bool = False) -> EnvState:
+    """Win/draw latching after a step (environment.cpp:152-168).
+
+    FFA: last agent standing wins; zero alive is a draw.  Team mode (the
+    reference declares ``teamWon`` but never implements it,
+    bboard.hpp:556): a team wins when every opponent is dead; ``winner``
+    then holds the TEAM id (0 or 1); both teams wiped out is a draw.
+    """
+    if team_mode:
+        team = jnp.asarray(TEAM_OF)
+        alive = ~es.game.agent_dead
+        t0_alive = jnp.any(alive & (team == 0))
+        t1_alive = jnp.any(alive & (team == 1))
+        won = t0_alive ^ t1_alive
+        survivor = jnp.where(t0_alive, 0, 1).astype(I32)
+        draw = ~t0_alive & ~t1_alive
+    else:
+        alive_n = es.game.alive_count
+        won = alive_n == 1
+        # With exactly one survivor any selection rule agrees.
+        survivor = jnp.argmax(~es.game.agent_dead).astype(I32)
+        draw = alive_n == 0
     return es._replace(
         done=es.done | won | draw,
         winner=jnp.where(won & ~es.done, survivor, es.winner),
@@ -89,26 +119,27 @@ def _detect_terminal(es: EnvState) -> EnvState:
     )
 
 
-def env_step(es: EnvState, moves) -> EnvState:
+def env_step(es: EnvState, moves, team_mode: bool = False) -> EnvState:
     """One simultaneous step + timeStep advance + terminal detection.
 
     Like ``Environment::Step`` (environment.cpp:123-168), a finished game is
     frozen: stepping it is a no-op.
     """
-    game = step(es.game, moves)
+    game = _step_fn(es.game)(es.game, moves)
     game = game._replace(timestep=game.timestep + 1)
-    nxt = _detect_terminal(es._replace(game=game))
+    nxt = _detect_terminal(es._replace(game=game), team_mode)
     return jax.tree.map(lambda a, b: jnp.where(es.done, a, b), es, nxt)
 
 
-def env_step_auto_reset(es: EnvState, moves) -> EnvState:
+def env_step_auto_reset(es: EnvState, moves, team_mode: bool = False) -> EnvState:
     """``env_step``, but a game that finished restarts on its next step.
 
     The episode outcome is readable for exactly one step (the step that set
     ``done``); standard batched-RL semantics.
     """
-    fresh = _fresh(es.key)
-    stepped = env_step(es, moves)
+    engine = "cellular" if isinstance(es.game, CellState) else "exact"
+    fresh = _fresh(es.key, engine)
+    stepped = env_step(es, moves, team_mode)
     return jax.tree.map(lambda f, s: jnp.where(es.done, f, s), fresh, stepped)
 
 
