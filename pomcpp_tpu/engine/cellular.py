@@ -5,8 +5,20 @@ recursion architecture bit-for-bit; it is the conformance oracle, but its
 program is ~12k ops of scalar gathers and nested loops -- hostile to XLA/TPU.
 This module re-derives the same game as a *cellular automaton* over per-cell
 planes, which is the form the hardware wants: every phase is a handful of
-[121]-wide vector ops (vmapped to [B, 121]), no data-dependent queues, no
-recursion, one short while_loop for explosion chain rounds.
+[121]-wide vector ops (vmapped to [B, 121]).
+
+Performance rules this file obeys (XLA/TPU lowers dynamic scatter/gather to
+serialized updates, which murders throughput at batch size):
+
+* NO dynamic-index scatter or gather anywhere on the step path.  Bomb
+  kinematics use directional plane shifts (a bomb moves one cell per step,
+  so "what arrives at cell c" is a shifted plane); agent-indexed reads and
+  writes (4 agents) use one-hot compares, which preserve sequential write
+  order.
+* Explosion rays are blocked max-plus segment scans (`associative_scan`),
+  log-depth instead of per-cell walks.
+* The only loop whose trip count is data-dependent is the explosion chain
+  round (`while_loop`), and its body is pure vector ops.
 
 Key equivalences that make the plane representation faithful:
 
@@ -64,13 +76,16 @@ from ..core.constants import (
     NUM_CELLS,
 )
 from ..core import queue as q
-from ..core.state import I32, State, flag_item, is_agent, is_powerup, is_walkable
+from ..core.state import I32, State, flag_item, is_agent, is_powerup
 
 BOOL = jnp.bool_
 _DX = jnp.asarray(MOVE_DX, I32)
 _DY = jnp.asarray(MOVE_DY, I32)
+_CELL_X = jnp.arange(NUM_CELLS, dtype=I32) % BOARD_SIZE
+_CELL_Y = jnp.arange(NUM_CELLS, dtype=I32) // BOARD_SIZE
 
-# Direction codes reuse move codes 1..4 (UP=-y, DOWN=+y, LEFT=-x, RIGHT=+x).
+# Direction codes reuse move codes 1..4: UP(-y), DOWN(+y), LEFT(-x), RIGHT(+x).
+_OPP = {1: 2, 2: 1, 3: 4, 4: 3}
 
 
 class CellState(NamedTuple):
@@ -96,27 +111,70 @@ class CellState(NamedTuple):
     timestep: jax.Array       # i32
 
 
-# --- Plane shifts (flat [..., 121] arrays, row-major y, x fastest) -----------
+# --- Shift / one-hot primitives (the only "memory ops" on the step path) -----
 
 
-def _shift(plane, dir_code: int, fill):
-    """Value of the direction-predecessor cell: shifted[c] = plane[c - dir]."""
+def _push(plane, d: int, fill):
+    """What arrives at each cell from a move in direction d: out[c] = plane[c-d]."""
     p = plane.reshape(plane.shape[:-1] + (BOARD_SIZE, BOARD_SIZE))
-    f = jnp.full_like(p[..., :1, :], fill)
+    fr = jnp.full_like(p[..., :1, :], fill)
     fc = jnp.full_like(p[..., :, :1], fill)
-    if dir_code == 1:    # UP: predecessor is below (y+1)
-        s = jnp.concatenate([p[..., 1:, :], f], axis=-2)
-    elif dir_code == 2:  # DOWN: predecessor is above (y-1)
-        s = jnp.concatenate([f, p[..., :-1, :]], axis=-2)
-    elif dir_code == 3:  # LEFT: predecessor is right (x+1)
+    if d == 1:    # UP (y-1): arrives from below
+        s = jnp.concatenate([p[..., 1:, :], fr], axis=-2)
+    elif d == 2:  # DOWN (y+1): arrives from above
+        s = jnp.concatenate([fr, p[..., :-1, :]], axis=-2)
+    elif d == 3:  # LEFT (x-1): arrives from the right
         s = jnp.concatenate([p[..., :, 1:], fc], axis=-1)
-    else:                # RIGHT: predecessor is left (x-1)
+    else:         # RIGHT (x+1): arrives from the left
         s = jnp.concatenate([fc, p[..., :, :-1]], axis=-1)
     return s.reshape(plane.shape)
 
 
+def _pull(plane, d: int, fill):
+    """Value at each cell's direction-d neighbor: out[c] = plane[c+d]."""
+    return _push(plane, _OPP[d], fill)
+
+
+def _dest_val(plane, dir_plane, fill):
+    """Value at each cell's destination (dir 0 = the cell itself)."""
+    out = plane
+    for d in (1, 2, 3, 4):
+        out = jnp.where(dir_plane == d, _pull(plane, d, fill), out)
+    return out
+
+
+def _dest_oob(dir_plane):
+    """True where the destination lies off-board."""
+    return (
+        ((dir_plane == 1) & (_CELL_Y == 0))
+        | ((dir_plane == 2) & (_CELL_Y == BOARD_SIZE - 1))
+        | ((dir_plane == 3) & (_CELL_X == 0))
+        | ((dir_plane == 4) & (_CELL_X == BOARD_SIZE - 1))
+    )
+
+
 def _cell(x, y):
     return x + BOARD_SIZE * y
+
+
+def _onehot(x, y):
+    """[4, 121] one-hot of agent cells (rows masked later by callers)."""
+    return _cell(x, y)[:, None] == jnp.arange(NUM_CELLS, dtype=I32)[None, :]
+
+
+def _read_cells(plane, oh):
+    """plane[cell_i] for each agent via one-hot reduce -> [4]."""
+    if plane.dtype == BOOL:
+        return jnp.any(oh & plane[None, :], axis=1)
+    return jnp.sum(jnp.where(oh, plane[None, :], 0), axis=1)
+
+
+def _write_cells(plane, oh, values, mask):
+    """Sequential per-agent cell writes (later agent wins), scatter-free."""
+    out = plane
+    for i in range(AGENT_COUNT):
+        out = jnp.where(oh[i] & mask[i], values[i], out)
+    return out
 
 
 def empty_cell_state() -> CellState:
@@ -143,11 +201,11 @@ def empty_cell_state() -> CellState:
     )
 
 
-# --- Conversion from the queue-encoded exact state ---------------------------
+# --- Conversion from the queue-encoded exact state (tests/interop only) ------
 
 
 def from_state(s: State) -> CellState:
-    """Scatter the queue state into planes (for tests and interop)."""
+    """Scatter the queue state into planes (host/test path; scatters OK)."""
     n = s.bombs.x.shape[0]
     li = jnp.arange(n)
     lv = lambda f: q.logical_view(f, s.bomb_head)
@@ -159,19 +217,12 @@ def from_state(s: State) -> CellState:
     def scat(field):
         return zero.at[c].max(jnp.where(valid, lv(field), 0))
 
-    bomb_timer = scat(s.bombs.timer)
-    bomb_strength = scat(s.bombs.strength)
-    bomb_dir = scat(s.bombs.dir)
-    bomb_owner = scat(s.bombs.id)
-
-    # Flame timers: each FLAME cell expires with its owning record.
     fn = s.flames.x.shape[0]
     fli = jnp.arange(fn)
     flv = lambda f: q.logical_view(f, s.flame_head)
     fx, fy, ft = flv(s.flames.x), flv(s.flames.y), flv(s.flames.timer)
     fvalid = fli < s.flame_count
     sig = _cell(fx, fy)
-    # timer of the record whose origin equals this cell's signature
     match = fvalid[None, :] & (sig[None, :] == s.flame_sig[:, None])
     flame_timer = jnp.max(
         jnp.where(match, ft[None, :], 0), axis=1
@@ -181,10 +232,10 @@ def from_state(s: State) -> CellState:
         board=s.board,
         hidden_pow=s.hidden_pow,
         flame_timer=flame_timer.astype(I32),
-        bomb_timer=bomb_timer,
-        bomb_strength=bomb_strength,
-        bomb_dir=bomb_dir,
-        bomb_owner=bomb_owner,
+        bomb_timer=scat(s.bombs.timer),
+        bomb_strength=scat(s.bombs.strength),
+        bomb_dir=scat(s.bombs.dir),
+        bomb_owner=scat(s.bombs.id),
         agent_x=s.agent_x,
         agent_y=s.agent_y,
         agent_bomb_count=s.agent_bomb_count,
@@ -237,13 +288,12 @@ def _move_agents(cs: CellState, moves):
     dx = ax + _DX[m]
     dy = ay + _DY[m]
     dx, dy = _fix_switch(ax, ay, dx, dy)
-    # Post-switch-fix a "mover" must still leave its cell.
     directional = directional & ((dx != ax) | (dy != ay))
 
     inb = (dx >= 0) & (dy >= 0) & (dx < BOARD_SIZE) & (dy < BOARD_SIZE)
-    dc = jnp.clip(_cell(dx, dy), 0, NUM_CELLS - 1)
-    oc = _cell(ax, ay)
-    dest_item = cs.board[dc]
+    oh_dest = _onehot(jnp.clip(dx, 0, 10), jnp.clip(dy, 0, 10)) & inb[:, None]
+    oh_org = _onehot(ax, ay)
+    dest_item = _read_cells(cs.board, oh_dest)
 
     # Ouroboros: nobody is a movement root (step_utility.cpp:172-205).
     targets_other = (
@@ -251,7 +301,7 @@ def _move_agents(cs: CellState, moves):
         & (jnp.arange(4)[:, None] != jnp.arange(4)[None, :])
         & (dx[:, None] == ax[None, :])
         & (dy[:, None] == ay[None, :])
-    )  # [i, j]: i wants j's cell
+    )
     is_root = cs.agent_dead | ~jnp.any(targets_other, axis=1)
     ouroboros = ~jnp.any(is_root)
 
@@ -283,11 +333,9 @@ def _move_agents(cs: CellState, moves):
         move = base & (enterable | vacating | (ouroboros & dest_agent))
 
     # Kicks: mover onto a bomb cell with canKick (step.cpp:147-169).
-    has_bomb_dest = cs.bomb_timer[dc] > 0
+    has_bomb_dest = _read_cells(cs.bomb_timer, oh_dest) > 0
     kick = move & cs.agent_can_kick & has_bomb_dest
-    bomb_dir = cs.bomb_dir.at[dc].set(
-        jnp.where(kick, m, cs.bomb_dir[dc])
-    )
+    bomb_dir = _write_cells(cs.bomb_dir, oh_dest, m, kick)
 
     # Powerups (step.cpp:111-114, step_utility.cpp:247-262).
     take = move & is_powerup(dest_item)
@@ -297,47 +345,40 @@ def _move_agents(cs: CellState, moves):
 
     # Board: vacate origins of movers and flame victims, then place movers.
     vacate = move | victim
-    vac_val = jnp.where(cs.bomb_timer[oc] > 0, C_BOMB, C_PASSAGE).astype(I32)
-    board = cs.board.at[oc].set(
-        jnp.where(vacate, vac_val, cs.board[oc])
-    )
-    board = board.at[dc].set(
-        jnp.where(move, C_AGENT0 + jnp.arange(4, dtype=I32), board[dc])
+    org_bomb = _read_cells(cs.bomb_timer, oh_org) > 0
+    vac_val = jnp.where(org_bomb, C_BOMB, C_PASSAGE).astype(I32)
+    board = _write_cells(cs.board, oh_org, vac_val, vacate)
+    board = _write_cells(
+        board, oh_dest, C_AGENT0 + jnp.arange(4, dtype=I32), move
     )
 
-    # Deaths.
     dead = cs.agent_dead | victim
     alive_count = cs.alive_count - jnp.sum(victim).astype(I32)
-
     nx = jnp.where(move, dx, ax)
     ny = jnp.where(move, dy, ay)
 
     # Plants: BOMB move, capacity left, no bomb already here (divergence #1).
-    pc = _cell(nx, ny)  # planters never move; pc == oc for them
     plant = (
         alive
         & (moves == M_BOMB)
         & (cs.agent_bomb_count < cs.agent_max_bombs)
-        & (cs.bomb_timer[oc] == 0)
+        & ~org_bomb
     )
     ids = jnp.arange(4, dtype=I32)
-    bomb_timer = cs.bomb_timer.at[pc].set(
-        jnp.where(plant, BOMB_LIFETIME + 1, cs.bomb_timer[pc])
+    lt = jnp.full((4,), BOMB_LIFETIME + 1, I32)
+    bomb_timer = _write_cells(cs.bomb_timer, oh_org, lt, plant)
+    bomb_strength = _write_cells(
+        cs.bomb_strength, oh_org, cs.agent_strength, plant
     )
-    bomb_strength = cs.bomb_strength.at[pc].set(
-        jnp.where(plant, cs.agent_strength, cs.bomb_strength[pc])
-    )
-    bomb_owner = cs.bomb_owner.at[pc].set(
-        jnp.where(plant, ids, cs.bomb_owner[pc])
-    )
-    bomb_dir2 = bomb_dir.at[pc].set(jnp.where(plant, 0, bomb_dir[pc]))
+    bomb_owner = _write_cells(cs.bomb_owner, oh_org, ids, plant)
+    bomb_dir = _write_cells(bomb_dir, oh_org, jnp.zeros((4,), I32), plant)
     bomb_count = cs.agent_bomb_count + plant.astype(I32)
 
     return cs._replace(
-        board=board,
+        board=board.astype(I32),
         bomb_timer=bomb_timer,
         bomb_strength=bomb_strength,
-        bomb_dir=bomb_dir2,
+        bomb_dir=bomb_dir,
         bomb_owner=bomb_owner,
         agent_x=nx,
         agent_y=ny,
@@ -353,36 +394,25 @@ def _move_agents(cs: CellState, moves):
 # --- Phase 2: bomb kinematics ------------------------------------------------
 
 
-def _bomb_dest_cell(cs: CellState):
-    """Destination cell index of each bomb cell (-1 when OOB)."""
-    idx = jnp.arange(NUM_CELLS, dtype=I32)
-    x = idx % BOARD_SIZE
-    y = idx // BOARD_SIZE
-    d = jnp.clip(cs.bomb_dir, 0, 4)
-    tx = x + _DX[d]
-    ty = y + _DY[d]
-    oob = (tx < 0) | (ty < 0) | (tx >= BOARD_SIZE) | (ty >= BOARD_SIZE)
-    return jnp.where(oob, -1, _cell(jnp.clip(tx, 0, BOARD_SIZE - 1),
-                                    jnp.clip(ty, 0, BOARD_SIZE - 1))), oob
-
-
 def _static_block(item):
     return (item == C_RIGID) | (item == C_WOOD) | is_powerup(item)
 
 
-def _revert_chain(cs: CellState, moves, trigger, bdest0):
+def _revert_chain(cs: CellState, moves, trigger, dir0):
     """AgentBombChainReversion (step_utility.cpp:62-128), vectorized.
 
     ``trigger`` is a bool[4] mask of agents to bounce back; chains cascade
     through displaced agents and kicked bombs destined for vacated cells.
-    ``bdest0`` is the stale phase-start destination plane (the reference
-    fills bomb destinations once, step.cpp:191-192).
+    ``dir0`` is the phase-start direction plane: the reference fills bomb
+    destinations once and reversion sees those stale values
+    (step.cpp:191-192).
     """
     agent_ids = jnp.arange(4, dtype=I32)
     eye = agent_ids[:, None] == agent_ids[None, :]
     m = jnp.clip(moves, 0, 5)
     mdx = _DX[m]
     mdy = _DY[m]
+    has_bomb = cs.bomb_timer > 0
 
     def link(carry, _):
         board, ax, ay, bomb_dir, cur, done = carry
@@ -391,7 +421,7 @@ def _revert_chain(cs: CellState, moves, trigger, bdest0):
         oinb = (ox >= 0) & (oy >= 0) & (ox < BOARD_SIZE) & (oy < BOARD_SIZE)
         act = cur & oinb
         done = done | act
-        oc = jnp.clip(_cell(ox, oy), 0, NUM_CELLS - 1)
+        oh_org = _onehot(jnp.clip(ox, 0, 10), jnp.clip(oy, 0, 10)) & act[:, None]
 
         # Occupant of each origin cell (get_agent, bboard.cpp:289-299).
         here = (
@@ -399,7 +429,7 @@ def _revert_chain(cs: CellState, moves, trigger, bdest0):
             & (ax[None, :] == ox[:, None])
             & (ay[None, :] == oy[:, None])
             & ~eye
-        )  # [i, j]: agent j stands at i's origin
+        )
         occ = jnp.where(
             jnp.any(here, axis=1), jnp.argmax(here, axis=1), -1
         ).astype(I32)
@@ -407,11 +437,10 @@ def _revert_chain(cs: CellState, moves, trigger, bdest0):
         # Bomb handling runs only when no agent occupies the origin
         # (step_utility.cpp:70-121: the agent branch takes priority).
         no_occ = act & (occ < 0)
-        wanted = jnp.zeros((NUM_CELLS,), BOOL).at[oc].max(no_occ)
-        bomb_to_oc = (
-            (cs.bomb_timer > 0) & (bdest0 >= 0)
-            & wanted[jnp.clip(bdest0, 0, NUM_CELLS - 1)]
-        )
+        wanted = jnp.any(oh_org & no_occ[:, None], axis=0)
+        # A bomb is "destined" for a wanted cell per its STALE direction.
+        dest_wanted = _dest_val(wanted, dir0, False)
+        bomb_to_oc = has_bomb & dest_wanted
         # Self-laid idle bombs (dest == own cell) just get the agent back on
         # top (step_utility.cpp:101-106); moving bombs are stopped in place.
         moving_bomb = bomb_to_oc & (bomb_dir != 0)
@@ -419,18 +448,18 @@ def _revert_chain(cs: CellState, moves, trigger, bdest0):
         board = jnp.where(moving_bomb & ~is_agent(board), C_BOMB, board)
 
         # Move the reverting agents back.
-        board = board.at[oc].set(
-            jnp.where(act, C_AGENT0 + agent_ids, board[oc])
-        )
+        board = _write_cells(board, oh_org, C_AGENT0 + agent_ids, act)
         ax = jnp.where(act, ox, ax)
         ay = jnp.where(act, oy, ay)
 
         # Next links: displaced occupants, plus agents standing where a
         # moving bomb was just stopped (step_utility.cpp:113-120).
-        nxt = jnp.zeros((4,), BOOL).at[jnp.clip(occ, 0, 3)].max(
-            act & (occ >= 0)
+        nxt = jnp.any(
+            (act & (occ >= 0))[:, None]
+            & (occ[:, None] == agent_ids[None, :]),
+            axis=0,
         )
-        on_stopped = moving_bomb[_cell(ax, ay)] & ~cs.agent_dead
+        on_stopped = _read_cells(moving_bomb, _onehot(ax, ay)) & ~cs.agent_dead
         cur = (nxt | on_stopped) & ~done
         return (board, ax, ay, bomb_dir, cur, done), None
 
@@ -446,22 +475,18 @@ def _revert_chain(cs: CellState, moves, trigger, bdest0):
 
 def _restore_bomb_items(cs: CellState) -> CellState:
     """Show C_BOMB on bomb cells no live agent stands on (post-reversion)."""
-    occupied = jnp.zeros((NUM_CELLS,), BOOL).at[
-        _cell(cs.agent_x, cs.agent_y)
-    ].max(~cs.agent_dead)
-    show = (cs.bomb_timer > 0) & ~occupied & is_agent(cs.board)
-    return cs._replace(
-        board=jnp.where(show, C_BOMB, cs.board).astype(I32)
+    occupied = jnp.any(
+        _onehot(cs.agent_x, cs.agent_y) & ~cs.agent_dead[:, None], axis=0
     )
+    show = (cs.bomb_timer > 0) & ~occupied & is_agent(cs.board)
+    return cs._replace(board=jnp.where(show, C_BOMB, cs.board).astype(I32))
 
 
 def _bomb_phase(cs: CellState, moves, old_x, old_y):
     """Block pass + move pass (step.cpp:188-278).  Returns (cs, slide_explode)."""
-    bdest0, _ = _bomb_dest_cell(cs)
-    bdest0 = jnp.where(cs.bomb_timer > 0, bdest0, -2)
+    dir0 = cs.bomb_dir  # stale directions for reversion (step.cpp:191-192)
 
     directional_move = (moves >= 1) & (moves <= 4)
-    agent_moved = (cs.agent_x != old_x) | (cs.agent_y != old_y)
 
     # --- Block pass (step.cpp:195-227): two rounds, because a reversion can
     # land an agent on another bomb's target and block it too.  A bomb is
@@ -469,63 +494,69 @@ def _bomb_phase(cs: CellState, moves, old_x, old_y):
     # static item, or an agent -- the idle-bomb-with-walker case is exactly
     # how the reference bounces back non-kick walkers.
     for _ in range(2):
-        dest, oob = _bomb_dest_cell(cs)
-        dest_item = cs.board[jnp.clip(dest, 0, NUM_CELLS - 1)]
+        agent_moved = (cs.agent_x != old_x) | (cs.agent_y != old_y)
+        dest_item = _dest_val(cs.board, cs.bomb_dir, C_RIGID)
         blocked = (cs.bomb_timer > 0) & (
-            oob | _static_block(dest_item) | is_agent(dest_item)
+            _dest_oob(cs.bomb_dir) | _static_block(dest_item)
+            | is_agent(dest_item)
         )
-        pos_of = _cell(cs.agent_x, cs.agent_y)
+        oh_pos = _onehot(cs.agent_x, cs.agent_y)
         trigger = (
             ~cs.agent_dead
-            & blocked[pos_of]
+            & _read_cells(blocked, oh_pos)
             & directional_move
             & agent_moved
         )
         cs = cs._replace(bomb_dir=jnp.where(blocked, 0, cs.bomb_dir))
-        cs = _revert_chain(cs, moves, trigger, bdest0)
+        cs = _revert_chain(cs, moves, trigger, dir0)
         cs = _restore_bomb_items(cs)
-        agent_moved = (cs.agent_x != old_x) | (cs.agent_y != old_y)
 
     # --- Move pass (step.cpp:230-278).
-    dest, oob = _bomb_dest_cell(cs)
     has_bomb = cs.bomb_timer > 0
-    dest_item = cs.board[jnp.clip(dest, 0, NUM_CELLS - 1)]
-    can_enter = ~oob & ~_static_block(dest_item)
     moving = has_bomb & (cs.bomb_dir != 0)
+    dest_item = _dest_val(cs.board, cs.bomb_dir, C_RIGID)
+    can_enter = ~_dest_oob(cs.bomb_dir) & ~_static_block(dest_item)
 
     # Collisions: >= 2 bombs targeting one cell all stop (an idle bomb's
     # target is its own cell, step_utility.cpp:279-329).
-    own = jnp.arange(NUM_CELLS, dtype=I32)
-    dest_cnt = jnp.where(moving, dest, own)
-    valid = has_bomb & (dest_cnt >= 0)
-    dc_safe = jnp.clip(dest_cnt, 0, NUM_CELLS - 1)
-    targets = jnp.zeros((NUM_CELLS,), I32).at[dc_safe].add(valid.astype(I32))
-    collide = valid & (targets[dc_safe] >= 2)
+    arrivals = (has_bomb & ~moving).astype(I32)
+    for d in (1, 2, 3, 4):
+        arrivals = arrivals + _push(
+            (moving & (cs.bomb_dir == d)).astype(I32), d, 0
+        )
+    dest_count = _dest_val(arrivals, jnp.where(moving, cs.bomb_dir, 0), 0)
+    collide = has_bomb & (dest_count >= 2)
     stopped_kick = collide & moving
     cs = cs._replace(
         bomb_dir=jnp.where(collide | (moving & ~can_enter), 0, cs.bomb_dir)
     )
 
     # Kicker bounce-back for stopped kicked bombs (step_utility.cpp:313-327).
-    pos_of = _cell(cs.agent_x, cs.agent_y)
+    oh_pos = _onehot(cs.agent_x, cs.agent_y)
     trigger = (
-        ~cs.agent_dead & stopped_kick[pos_of] & directional_move
+        ~cs.agent_dead & _read_cells(stopped_kick, oh_pos) & directional_move
     )
-    cs = _revert_chain(cs, moves, trigger, bdest0)
+    cs = _revert_chain(cs, moves, trigger, dir0)
     cs = _restore_bomb_items(cs)
 
     # Surviving movers advance one cell (unique destinations by collision).
     do_move = (cs.bomb_timer > 0) & (cs.bomb_dir != 0) & can_enter & ~collide
-    dsafe = jnp.clip(dest, 0, NUM_CELLS - 1)
 
     def advance(plane):
         stay = jnp.where(do_move, 0, plane)
-        incoming = jnp.zeros_like(plane).at[dsafe].max(
-            jnp.where(do_move, plane, 0)
-        )
-        return jnp.maximum(stay, incoming)
+        inc = jnp.zeros_like(plane)
+        for d in (1, 2, 3, 4):
+            inc = jnp.maximum(
+                inc,
+                _push(jnp.where(do_move & (cs.bomb_dir == d), plane, 0), d, 0),
+            )
+        return jnp.maximum(stay, inc)
 
-    moved_planes = cs._replace(
+    arrived = jnp.zeros((NUM_CELLS,), BOOL)
+    for d in (1, 2, 3, 4):
+        arrived = arrived | _push(do_move & (cs.bomb_dir == d), d, False)
+
+    moved = cs._replace(
         bomb_timer=advance(cs.bomb_timer),
         bomb_strength=advance(cs.bomb_strength),
         bomb_dir=advance(cs.bomb_dir),
@@ -535,16 +566,65 @@ def _bomb_phase(cs: CellState, moves, old_x, old_y):
     # Board bookkeeping (step.cpp:255-272): vacated bomb cells revert to
     # passage, entered walkable cells show the bomb, and a bomb arriving on
     # a flame cell explodes (handled by phase 3 with live owner strength).
-    arrived = jnp.zeros((NUM_CELLS,), BOOL).at[dsafe].max(do_move)
-    vacated = do_move & (cs.board == C_BOMB) & (moved_planes.bomb_timer == 0)
+    vacated = do_move & (cs.board == C_BOMB) & (moved.bomb_timer == 0)
     board = jnp.where(vacated, C_PASSAGE, cs.board)
     slide_explode = arrived & (board == C_FLAME)
-    board = jnp.where(arrived & is_walkable(board), C_BOMB, board)
-    cs = moved_planes._replace(board=board.astype(I32))
+    board = jnp.where(
+        arrived & ((board == C_PASSAGE) | is_powerup(board)), C_BOMB, board
+    )
+    cs = moved._replace(board=board.astype(I32))
     return cs, slide_explode
 
 
 # --- Phase 3: explosions -----------------------------------------------------
+
+_NEG = -1000
+
+
+def _ray_reach(board, origin_allowance):
+    """Blocked max-plus scan: best allowance ARRIVING at each cell from an
+    explosion along any of the 4 axis directions.
+
+    Segment element: (a = best allowance exiting the segment, t = whole
+    segment transmits, L = length).  Composition is associative, so 11-cell
+    rays reduce to log-depth ``lax.associative_scan``s.
+    """
+    transmit = (board != C_RIGID) & (board != C_WOOD)
+    a0 = origin_allowance
+
+    def compose(x, y):
+        ax_, tx, lx = x
+        ay_, ty, ly = y
+        a = jnp.maximum(ay_, jnp.where(ty, ax_ - ly, _NEG))
+        return a, tx & ty, lx + ly
+
+    def scan_axis(axis, reverse):
+        a = a0.reshape(a0.shape[:-1] + (BOARD_SIZE, BOARD_SIZE))
+        t = transmit.reshape(a.shape)
+        length = jnp.ones(a.shape, I32)
+        aa, _, _ = lax.associative_scan(
+            compose, (a, t, length), axis=a.ndim - 2 + axis, reverse=reverse
+        )
+        pad_shape = list(aa.shape)
+        pad_shape[-2 + axis] = 1
+        pad = jnp.full(pad_shape, _NEG, I32)
+        if axis == 0:
+            prev = (
+                jnp.concatenate([aa[..., 1:, :], pad], axis=-2) if reverse
+                else jnp.concatenate([pad, aa[..., :-1, :]], axis=-2)
+            )
+        else:
+            prev = (
+                jnp.concatenate([aa[..., :, 1:], pad], axis=-1) if reverse
+                else jnp.concatenate([pad, aa[..., :, :-1]], axis=-1)
+            )
+        return (prev - 1).reshape(a0.shape)
+
+    down = scan_axis(0, False)
+    up = scan_axis(0, True)
+    right = scan_axis(1, False)
+    left = scan_axis(1, True)
+    return jnp.maximum(jnp.maximum(down, up), jnp.maximum(right, left))
 
 
 def _explode(cs: CellState, slide_explode):
@@ -554,81 +634,37 @@ def _explode(cs: CellState, slide_explode):
     timer = jnp.where(has_bomb, cs.bomb_timer - 1, 0)
     cs = cs._replace(bomb_timer=jnp.where(slide_explode, cs.bomb_timer, timer))
 
-    first = (cs.bomb_timer == 0) & has_bomb | slide_explode
-    # Stored strength for timer explosions (ExplodeTopBomb, bboard.cpp:191),
-    # owner's live strength for slide/chained ones (ExplodeBombAt, :111).
-    live = slide_explode
-
-    _NEG = -1000
-
-    def _ray_reach(board, origin_allowance):
-        """Blocked max-plus scan: per cell, the best allowance ARRIVING from
-        an explosion along each of the 4 axis directions.
-
-        Segment element: (a = best allowance exiting the segment, t = whole
-        segment transmits, L = length).  Composition is associative, so the
-        11-cell rays reduce to log-depth ``lax.associative_scan``s.
-        """
-        transmit = (board != C_RIGID) & (board != C_WOOD)
-        a0 = origin_allowance  # s at exploding cells, _NEG elsewhere
-
-        def compose(x, y):
-            ax_, tx, lx = x
-            ay_, ty, ly = y
-            a = jnp.maximum(ay_, jnp.where(ty, ax_ - ly, _NEG))
-            return a, tx & ty, lx + ly
-
-        def scan_axis(axis, reverse):
-            a = a0.reshape(BOARD_SIZE, BOARD_SIZE)
-            t = transmit.reshape(BOARD_SIZE, BOARD_SIZE)
-            length = jnp.ones((BOARD_SIZE, BOARD_SIZE), I32)
-            aa, _, _ = lax.associative_scan(
-                compose, (a, t, length), axis=axis, reverse=reverse
-            )
-            # Exclusive: allowance exiting the neighbor BEFORE each cell.
-            pad = jnp.full((BOARD_SIZE,), _NEG, I32)
-            if axis == 0:
-                prev = (
-                    jnp.vstack([aa[1:], pad[None]]) if reverse
-                    else jnp.vstack([pad[None], aa[:-1]])
-                )
-            else:
-                prev = (
-                    jnp.hstack([aa[:, 1:], pad[:, None]]) if reverse
-                    else jnp.hstack([pad[:, None], aa[:, :-1]])
-                )
-            return (prev - 1).reshape(NUM_CELLS)
-
-        down = scan_axis(0, False)   # flame travelling +y
-        up = scan_axis(0, True)      # -y
-        right = scan_axis(1, False)  # +x
-        left = scan_axis(1, True)    # -x
-        best = jnp.maximum(jnp.maximum(down, up), jnp.maximum(right, left))
-        return best
+    first = ((cs.bomb_timer == 0) & has_bomb) | slide_explode
+    live = slide_explode  # live-owner strength (ExplodeBombAt, bboard.cpp:111)
 
     def round_body(carry):
         cs, explode, live, _ = carry
-        owner = jnp.clip(cs.bomb_owner, 0, 3)
-        s_cell = jnp.where(
-            live, cs.agent_strength[owner], cs.bomb_strength
-        )
+        # Stored strength for timer explosions (ExplodeTopBomb), the owner's
+        # live strength for slide/chained ones.
+        live_strength = jnp.zeros((NUM_CELLS,), I32)
+        for i in range(AGENT_COUNT):
+            live_strength = jnp.where(
+                cs.bomb_owner == i, cs.agent_strength[i], live_strength
+            )
+        s_cell = jnp.where(live, live_strength, cs.bomb_strength)
 
         arriving = _ray_reach(
             cs.board, jnp.where(explode, s_cell, _NEG).astype(I32)
         )
         burn = explode | ((arriving >= 0) & (cs.board != C_RIGID))
 
-        # Remove exploded bombs; refund their owners.
-        refund = jnp.zeros((4,), I32).at[owner].add(explode.astype(I32))
         was_wood = burn & (cs.board == C_WOOD)
         kill_cell = burn & is_agent(cs.board)
-        victims = jnp.zeros((4,), BOOL).at[
-            jnp.clip(cs.board - C_AGENT0, 0, 3)
-        ].max(kill_cell)
+        aid = cs.board - C_AGENT0
+        victims = jnp.zeros((4,), BOOL)
+        refund = jnp.zeros((4,), I32)
+        for i in range(AGENT_COUNT):
+            victims = victims.at[i].set(jnp.any(kill_cell & (aid == i)))
+            refund = refund.at[i].set(
+                jnp.sum(explode & (cs.bomb_owner == i)).astype(I32)
+            )
         newly_dead = victims & ~cs.agent_dead
 
-        # Chain: surviving bombs under flames explode next round, with the
-        # owner's live strength.
         next_explode = burn & (cs.bomb_timer > 0) & ~explode
 
         cs = cs._replace(
