@@ -1,0 +1,266 @@
+"""Self-play PPO learner over the cellular environment.
+
+The reference ships no learner (SURVEY.md §2.6 P4); this is the north-star
+training stack: all four agents share one actor-critic policy, rollouts run
+fully on-device through the cellular step (one lax.scan, no host round
+trips), and the update is standard clipped PPO with GAE.
+
+Scaling story (SURVEY.md §2.6 P3/P6): the board batch is the only parallel
+axis.  Under a ``boards`` mesh the rollout is embarrassingly parallel and
+the gradient all-reduce is the only collective; both emerge automatically
+from sharding annotations -- the train step is written as plain jit-able
+code over the global batch.
+
+Rewards (per agent, sparse, standard Pommerman shaping):
+  +1 on the step their game ends won; -1 on the step they die; 0 otherwise.
+"""
+
+from __future__ import annotations
+
+from typing import Any, NamedTuple
+
+import jax
+import jax.numpy as jnp
+import optax
+from jax import lax
+
+from ..core.constants import AGENT_COUNT
+from ..core.state import I32
+from ..env.environment import EnvState, env_step_auto_reset
+from ..env.observation import observe_ego
+from ..models.actor_critic import ActorCritic, obs_to_features
+
+
+class PPOConfig(NamedTuple):
+    rollout_len: int = 64
+    gamma: float = 0.99
+    lam: float = 0.95
+    clip_eps: float = 0.2
+    lr: float = 3e-4
+    epochs: int = 2
+    minibatches: int = 4
+    value_coef: float = 0.5
+    entropy_coef: float = 0.01
+    max_grad_norm: float = 0.5
+
+
+class TrainState(NamedTuple):
+    params: Any
+    opt_state: Any
+    key: jax.Array
+    update_count: jax.Array
+
+
+_MODEL = ActorCritic()
+
+
+def _optimizer(cfg: PPOConfig):
+    return optax.chain(
+        optax.clip_by_global_norm(cfg.max_grad_norm),
+        optax.adam(cfg.lr),
+    )
+
+
+def ppo_init(key: jax.Array, cfg: PPOConfig = PPOConfig()) -> TrainState:
+    from ..core.board_gen import random_cell_state
+
+    game = random_cell_state(jax.random.PRNGKey(0))
+    feats = obs_to_features(observe_ego(game, 0))
+    params = _MODEL.init(key, feats)
+    return TrainState(
+        params=params,
+        opt_state=_optimizer(cfg).init(params),
+        key=key,
+        update_count=jnp.zeros((), I32),
+    )
+
+
+def _policy_all_agents(params, game, key):
+    """Sample moves for all 4 agents -> (moves, logp, value, feats)."""
+
+    def one(k, aid):
+        obs = observe_ego(game, aid)
+        feats = obs_to_features(obs)
+        logits, value = _MODEL.apply(params, feats)
+        move = jax.random.categorical(k, logits)
+        logp = jax.nn.log_softmax(logits)[move]
+        return move.astype(I32), logp, value, feats
+
+    keys = jax.random.split(key, AGENT_COUNT)
+    ids = jnp.arange(AGENT_COUNT, dtype=I32)
+    return jax.vmap(one)(keys, ids)
+
+
+class Transition(NamedTuple):
+    feats: jax.Array    # [4, H, W, C]
+    move: jax.Array     # i32[4]
+    logp: jax.Array     # f32[4]
+    value: jax.Array    # f32[4]
+    reward: jax.Array   # f32[4]
+    alive: jax.Array    # bool[4] agent was alive when acting
+    done: jax.Array     # bool    episode boundary after this step
+
+
+def collect_rollout(params, es: EnvState, cfg: PPOConfig):
+    """Roll ``cfg.rollout_len`` steps of one board; vmap over the batch.
+
+    Randomness flows from ``es.key`` (already distinct per board).
+    Returns (final_env, Transition stacked on time, bootstrap values[4]).
+    """
+
+    def body(carry, _):
+        es = carry
+        k_act, k_next = jax.random.split(es.key)
+        moves, logp, value, feats = _policy_all_agents(params, es.game, k_act)
+        alive_before = ~es.game.agent_dead
+        moves = jnp.where(es.game.agent_dead, 0, moves)
+        es2 = env_step_auto_reset(es._replace(key=k_next), moves)
+
+        died = alive_before & jnp.where(
+            es.done, jnp.zeros((4,), bool), es2.game.agent_dead
+        )
+        won = (
+            es2.done
+            & ~es.done
+            & (jnp.arange(4) == es2.winner)
+            & alive_before
+        )
+        reward = won.astype(jnp.float32) - died.astype(jnp.float32)
+        tr = Transition(
+            feats=feats,
+            move=moves,
+            logp=logp,
+            value=value,
+            reward=reward,
+            alive=alive_before,
+            done=es2.done & ~es.done,
+        )
+        return es2, tr
+
+    es_final, traj = lax.scan(body, es, None, length=cfg.rollout_len)
+    _, _, boot_value, _ = _policy_all_agents(
+        params, es_final.game, jax.random.PRNGKey(0)
+    )
+    return es_final, traj, boot_value
+
+
+def compute_gae(traj: Transition, boot_value, cfg: PPOConfig):
+    """GAE over the time axis ([T, 4] values/rewards, done masking)."""
+
+    def body(carry, tr):
+        gae, next_value = carry
+        nonterminal = 1.0 - tr.done.astype(jnp.float32)
+        delta = tr.reward + cfg.gamma * next_value * nonterminal - tr.value
+        gae = delta + cfg.gamma * cfg.lam * nonterminal * gae
+        return (gae, tr.value), (gae, gae + tr.value)
+
+    (_, _), (adv, ret) = lax.scan(
+        body,
+        (jnp.zeros_like(boot_value), boot_value),
+        traj,
+        reverse=True,
+    )
+    return adv, ret
+
+
+def _ppo_loss(params, batch, cfg: PPOConfig):
+    feats, move, old_logp, adv, ret, alive = batch
+    logits, value = jax.vmap(lambda f: _MODEL.apply(params, f))(feats)
+    logp_all = jax.nn.log_softmax(logits)
+    logp = jnp.take_along_axis(logp_all, move[:, None], axis=1)[:, 0]
+    ratio = jnp.exp(logp - old_logp)
+    adv_n = (adv - adv.mean()) / (adv.std() + 1e-8)
+    unclipped = ratio * adv_n
+    clipped = jnp.clip(ratio, 1 - cfg.clip_eps, 1 + cfg.clip_eps) * adv_n
+    w = alive.astype(jnp.float32)
+    wsum = w.sum() + 1e-8
+    pg_loss = -(jnp.minimum(unclipped, clipped) * w).sum() / wsum
+    v_loss = (jnp.square(value - ret) * w).sum() / wsum
+    entropy = (
+        -(jnp.exp(logp_all) * logp_all).sum(-1) * w
+    ).sum() / wsum
+    loss = pg_loss + cfg.value_coef * v_loss - cfg.entropy_coef * entropy
+    return loss, {
+        "loss": loss,
+        "pg_loss": pg_loss,
+        "v_loss": v_loss,
+        "entropy": entropy,
+    }
+
+
+def ppo_update(ts: TrainState, flat_batch, cfg: PPOConfig):
+    """Minibatched clipped-PPO epochs over a flat [N, ...] batch."""
+    opt = _optimizer(cfg)
+    n = flat_batch[0].shape[0]
+    mb = n // cfg.minibatches
+
+    def epoch(carry, _):
+        params, opt_state, key = carry
+        key, perm_key = jax.random.split(key)
+        perm = jax.random.permutation(perm_key, n)
+        shuffled = tuple(x[perm] for x in flat_batch)
+
+        def mini(carry, i):
+            params, opt_state = carry
+            sl = tuple(
+                lax.dynamic_slice_in_dim(x, i * mb, mb, axis=0)
+                for x in shuffled
+            )
+            (loss, metrics), grads = jax.value_and_grad(
+                _ppo_loss, has_aux=True
+            )(params, sl, cfg)
+            updates, opt_state = opt.update(grads, opt_state, params)
+            params = optax.apply_updates(params, updates)
+            return (params, opt_state), metrics
+
+        (params, opt_state), metrics = lax.scan(
+            mini, (params, opt_state), jnp.arange(cfg.minibatches)
+        )
+        return (params, opt_state, key), metrics
+
+    (params, opt_state, key), metrics = lax.scan(
+        epoch, (ts.params, ts.opt_state, ts.key), None, length=cfg.epochs
+    )
+    metrics = jax.tree.map(lambda x: x[-1, -1], metrics)
+    return (
+        ts._replace(
+            params=params,
+            opt_state=opt_state,
+            key=key,
+            update_count=ts.update_count + 1,
+        ),
+        metrics,
+    )
+
+
+def ppo_train_step(ts: TrainState, es_batch: EnvState, cfg: PPOConfig = PPOConfig()):
+    """One full PPO iteration over a batched env: collect + GAE + update.
+
+    ``es_batch`` has a leading boards axis (shard it over the mesh); the
+    returned env continues from where the rollout stopped.  jit this whole
+    function -- under a boards NamedSharding the only collective XLA inserts
+    is the gradient/metric all-reduce.
+    """
+    es_final, traj, boot = jax.vmap(
+        lambda e: collect_rollout(ts.params, e, cfg)
+    )(es_batch)
+    adv, ret = jax.vmap(lambda t, b: compute_gae(t, b, cfg))(traj, boot)
+
+    # Flatten [B, T, 4, ...] -> [B*T*4, ...].
+    def flat(x):
+        return x.reshape((-1,) + x.shape[3:])
+
+    flat_batch = (
+        flat(traj.feats),
+        flat(traj.move),
+        flat(traj.logp),
+        flat(adv),
+        flat(ret),
+        flat(traj.alive),
+    )
+    ts, metrics = ppo_update(ts, flat_batch, cfg)
+    metrics["reward_mean"] = traj.reward.sum() / jnp.maximum(
+        traj.done.sum(), 1
+    )
+    metrics["episodes"] = traj.done.sum()
+    return ts, es_final, metrics

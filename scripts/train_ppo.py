@@ -1,0 +1,82 @@
+#!/usr/bin/env python
+"""Self-play PPO training driver.
+
+Runs the full on-device loop: batched cellular envs -> rollout -> GAE ->
+minibatched PPO updates, sharded over all local devices on a ``boards``
+mesh, with periodic checkpointing.
+
+Usage:
+  python scripts/train_ppo.py --batch 256 --iters 50 --rollout 64 \
+      --ckpt-dir build/ppo_ckpt [--resume]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import jax
+
+
+def main() -> None:
+    p = argparse.ArgumentParser()
+    p.add_argument("--batch", type=int, default=256)
+    p.add_argument("--iters", type=int, default=50)
+    p.add_argument("--rollout", type=int, default=64)
+    p.add_argument("--lr", type=float, default=3e-4)
+    p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--ckpt-dir", type=str, default="")
+    p.add_argument("--ckpt-every", type=int, default=10)
+    p.add_argument("--resume", action="store_true")
+    args = p.parse_args()
+
+    from pomcpp_tpu.env import env_reset
+    from pomcpp_tpu.learner import PPOConfig, ppo_init, ppo_train_step
+    from pomcpp_tpu.parallel import boards_mesh, shard_env_batch
+    from pomcpp_tpu.utils import restore_checkpoint, save_checkpoint
+
+    cfg = PPOConfig(rollout_len=args.rollout, lr=args.lr)
+    ts = ppo_init(jax.random.PRNGKey(args.seed), cfg)
+    if args.resume and args.ckpt_dir and os.path.exists(args.ckpt_dir):
+        ts = restore_checkpoint(args.ckpt_dir, ts)
+        print(f"resumed from {args.ckpt_dir} at update {int(ts.update_count)}")
+
+    es = jax.vmap(lambda k: env_reset(k, engine="cellular"))(
+        jax.random.split(jax.random.PRNGKey(args.seed + 1), args.batch)
+    )
+    mesh = boards_mesh()
+    if args.batch % len(jax.devices()) == 0:
+        es = shard_env_batch(es, mesh)
+        print(f"boards mesh over {len(jax.devices())} device(s)")
+
+    step = jax.jit(lambda ts, es: ppo_train_step(ts, es, cfg))
+
+    steps_per_iter = args.batch * cfg.rollout_len
+    for it in range(args.iters):
+        t0 = time.perf_counter()
+        ts, es, metrics = step(ts, es)
+        jax.block_until_ready(ts.params)
+        dt = time.perf_counter() - t0
+        m = {k: float(v) for k, v in metrics.items()}
+        m.update(
+            iter=it,
+            update=int(ts.update_count),
+            env_steps_per_s=round(steps_per_iter / dt, 1),
+            sec=round(dt, 2),
+        )
+        print(json.dumps(m))
+        if args.ckpt_dir and (it + 1) % args.ckpt_every == 0:
+            save_checkpoint(args.ckpt_dir, ts)
+            print(f"checkpointed -> {args.ckpt_dir}")
+
+    if args.ckpt_dir:
+        save_checkpoint(args.ckpt_dir, ts)
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,88 @@
+"""PPO learner smoke + correctness tests (small shapes, CPU)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from pomcpp_tpu.env import env_reset
+from pomcpp_tpu.learner import PPOConfig, ppo_init, ppo_train_step
+from pomcpp_tpu.learner.ppo import Transition, compute_gae
+
+
+def _small_cfg():
+    return PPOConfig(rollout_len=8, epochs=1, minibatches=2)
+
+
+def test_gae_matches_reference_impl():
+    T = 5
+    rng = np.random.RandomState(0)
+    rewards = rng.randn(T, 4).astype(np.float32)
+    values = rng.randn(T, 4).astype(np.float32)
+    dones = (rng.rand(T, 4) < 0.2).astype(np.float32)
+    boot = rng.randn(4).astype(np.float32)
+    cfg = PPOConfig(gamma=0.9, lam=0.8)
+
+    tr = Transition(
+        feats=jnp.zeros((T, 4, 1)),
+        move=jnp.zeros((T, 4), jnp.int32),
+        logp=jnp.zeros((T, 4)),
+        value=jnp.asarray(values),
+        reward=jnp.asarray(rewards),
+        alive=jnp.ones((T, 4), bool),
+        done=jnp.asarray(dones[:, 0] > 0.5),
+    )
+    adv, ret = compute_gae(tr, jnp.asarray(boot), cfg)
+
+    # Straightforward python reference.
+    adv_ref = np.zeros((T, 4), np.float32)
+    gae = np.zeros(4, np.float32)
+    next_v = boot.copy()
+    done_t = np.asarray(tr.done)
+    for t in reversed(range(T)):
+        nonterm = 1.0 - float(done_t[t])
+        delta = rewards[t] + cfg.gamma * next_v * nonterm - values[t]
+        gae = delta + cfg.gamma * cfg.lam * nonterm * gae
+        adv_ref[t] = gae
+        next_v = values[t]
+    np.testing.assert_allclose(np.asarray(adv), adv_ref, rtol=1e-5)
+    np.testing.assert_allclose(
+        np.asarray(ret), adv_ref + values, rtol=1e-5
+    )
+
+
+def test_train_step_runs_and_updates_params():
+    cfg = _small_cfg()
+    ts = ppo_init(jax.random.PRNGKey(0), cfg)
+    es = jax.vmap(lambda k: env_reset(k, engine="cellular"))(
+        jax.random.split(jax.random.PRNGKey(1), 4)
+    )
+    step = jax.jit(lambda ts, es: ppo_train_step(ts, es, cfg))
+    ts2, es2, metrics = step(ts, es)
+    assert int(ts2.update_count) == 1
+    assert np.isfinite(float(metrics["loss"]))
+    # Parameters actually moved.
+    moved = jax.tree.map(
+        lambda a, b: float(jnp.max(jnp.abs(a - b))), ts.params, ts2.params
+    )
+    assert max(jax.tree.leaves(moved)) > 0
+    # Env advanced.
+    assert int(np.asarray(es2.game.timestep).max()) > 0
+
+
+def test_train_step_sharded_over_mesh():
+    import pytest
+
+    if len(jax.devices()) < 8:
+        pytest.skip("needs 8 virtual devices")
+    from pomcpp_tpu.parallel import boards_mesh, shard_env_batch
+
+    cfg = _small_cfg()
+    ts = ppo_init(jax.random.PRNGKey(0), cfg)
+    es = jax.vmap(lambda k: env_reset(k, engine="cellular"))(
+        jax.random.split(jax.random.PRNGKey(1), 8)
+    )
+    mesh = boards_mesh()
+    es = shard_env_batch(es, mesh)
+    step = jax.jit(lambda ts, es: ppo_train_step(ts, es, cfg))
+    ts2, es2, metrics = step(ts, es)
+    assert np.isfinite(float(metrics["loss"]))
