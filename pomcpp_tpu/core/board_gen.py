@@ -159,11 +159,31 @@ def random_state(key: jax.Array) -> State:
     return put_agents_in_corners(s, 0, 1, 2, 3)
 
 
+def random_board_fast(key: jax.Array):
+    """Cheap on-device board: like ``random_board`` but wood cells carry a
+    hidden powerup independently with p=1/2 (binomial count) instead of the
+    reference's exact ceil(n_wood/2) -- skips the per-reset argsort, which
+    dominates auto-reset cost at scale.  Same per-cell marginals.
+    """
+    k_cell, k_sel, k_flag = jax.random.split(key, 3)
+    tmp = jax.random.randint(k_cell, (NUM_CELLS,), 0, 7)
+    board = jnp.where(
+        tmp == 1,
+        C_RIGID,
+        jnp.where(tmp == 2, C_WOOD, C_PASSAGE),
+    ).astype(I32)
+    wood = board == C_WOOD
+    flagged = wood & (jax.random.uniform(k_sel, (NUM_CELLS,)) < 0.5)
+    flags = jax.random.randint(k_flag, (NUM_CELLS,), 1, 5)
+    hidden = jnp.where(flagged, flags, 0).astype(I32)
+    return board, hidden
+
+
 def random_cell_state(key: jax.Array):
     """On-device fresh plane-encoded game state (engine.cellular)."""
     from ..engine.cellular import empty_cell_state
 
-    board, hidden = random_board(key)
+    board, hidden = random_board_fast(key)
     cs = empty_cell_state()._replace(board=board, hidden_pow=hidden)
     # put_agents_in_corners is duck-typed over board/agent_x/agent_y.
     return put_agents_in_corners(cs, 0, 1, 2, 3)

@@ -1,1 +1,1 @@
-from .ascii import render_state, print_state  # noqa: F401
+from .ascii import render_path, render_rmap, render_state, print_state  # noqa: F401

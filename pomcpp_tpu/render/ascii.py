@@ -111,3 +111,38 @@ def print_state(state: State, color: bool = True, clear: bool = False) -> None:
     if clear:
         print("\033c", end="")
     print(render_state(state, color))
+
+
+def render_rmap(rmap, color: bool = True) -> str:
+    """Pretty-print a strategy RMap's distances (reference PrintMap,
+    strategy.cpp:251-265)."""
+    dist = np.asarray(rmap.dist).reshape(BOARD_SIZE, BOARD_SIZE)
+    lines = []
+    for y in range(BOARD_SIZE):
+        lines.append(" ".join(f"{int(dist[y, x]):2d}" for x in range(BOARD_SIZE)))
+    return "\n".join(lines)
+
+
+def render_path(rmap, target: int, color: bool = True) -> str:
+    """Distances with the predecessor path to ``target`` highlighted
+    (reference PrintPath, strategy.cpp:268-294)."""
+    dist = np.asarray(rmap.dist).reshape(BOARD_SIZE, BOARD_SIZE)
+    pred = np.asarray(rmap.pred)
+    src = int(np.asarray(rmap.source))
+    path = set()
+    cur = int(target)
+    for _ in range(BOARD_SIZE * BOARD_SIZE):
+        if cur == src:
+            break
+        path.add(cur)
+        cur = int(pred[cur])
+    red, reset = ("\033[0;31m", _RESET) if color else ("", "")
+    lines = []
+    for y in range(BOARD_SIZE):
+        row = []
+        for x in range(BOARD_SIZE):
+            d = f"{int(dist[y, x]):2d}"
+            c = x + BOARD_SIZE * y
+            row.append(f"{red}{d}{reset}" if c in path else d)
+        lines.append(" ".join(row))
+    return "\n".join(lines)
