@@ -1,0 +1,635 @@
+"""Fused Pallas TPU kernel for the cellular step.
+
+Why: the XLA path (engine/cellular.py) executes ~600 small [B,121] vector
+ops per step; imperfect fusion makes every step re-stream the ~90MB plane
+state through HBM dozens of times, capping one chip near 2M env-steps/s.
+This kernel runs the ENTIRE step (all four phases) as one Pallas program:
+each grid block loads its boards' planes into VMEM once, does every phase
+on-chip, and writes the new state once -- HBM traffic drops to
+read-state + write-state per step.
+
+Layout: the 121 cells of a board pad to one 128-lane register row, so every
+plane is a [BLOCK, 128] i32 tile.  All neighbor access is a lane-roll
+(x +-1 => roll 1, y +-1 => roll 11) with board-edge masks; explosion rays
+use doubling (shift 1,2,4,8) of blocked max-plus segments; the four agents
+are unrolled with [BLOCK, 128] one-hot masks.  No scatter, no gather, no
+data-dependent trip counts except the chain-round loop (bounded by
+MAX_CHAIN_ROUNDS).
+
+Semantics: identical to engine/cellular.py (same documented divergences
+from the C++ reference), except explosion chain depth is capped at
+MAX_CHAIN_ROUNDS=4 rounds per step -- deeper same-step chains (>= 4 nested
+bomb triggers, essentially unseen in play) explode over subsequent rounds'
+steps.  Equivalence is asserted against cellular_step in
+tests/test_pallas_step.py.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from ..core.constants import (
+    AGENT_COUNT,
+    BOARD_SIZE,
+    BOMB_LIFETIME,
+    C_AGENT0,
+    C_BOMB,
+    C_EXTRABOMB,
+    C_FLAME,
+    C_INCRRANGE,
+    C_KICK,
+    C_PASSAGE,
+    C_RIGID,
+    C_WOOD,
+    FLAME_LIFETIME,
+    M_BOMB,
+    MOVE_DX,
+    MOVE_DY,
+    NUM_CELLS,
+)
+from ..core.state import I32
+from .cellular import CellState
+
+LANES = 128
+BLOCK = 256
+MAX_CHAIN_ROUNDS = 4
+_NEG = -1000
+
+# Per-lane coordinates (lane i is cell i; lanes >= 121 are void).
+def _lane_iota(block):
+    return jax.lax.broadcasted_iota(jnp.int32, (block, LANES), 1)
+
+
+def _valid_mask(block):
+    return _lane_iota(block) < NUM_CELLS
+
+
+# Direction codes 1..4: UP(-y) DOWN(+y) LEFT(-x) RIGHT(+x).
+_DSHIFT = {1: BOARD_SIZE, 2: -BOARD_SIZE, 3: 1, 4: -1}
+
+
+def _push(plane, d: int, fill, dist: int = 1):
+    """Value arriving at each cell from ``dist`` moves in direction d.
+
+    out[c] = plane[c - dist*off(d)] with board-edge masking: the roll is a
+    lane rotation, so cells whose source would cross an edge (or the
+    121..127 pad) read ``fill``.
+    """
+    block = plane.shape[0]
+    lane = _lane_iota(block)
+    x = lane % BOARD_SIZE
+    y = lane // BOARD_SIZE
+    if d == 1:      # from below: source y+dist
+        ok = y + dist < BOARD_SIZE
+        shift = -dist * BOARD_SIZE
+    elif d == 2:    # from above: source y-dist
+        ok = y - dist >= 0
+        shift = dist * BOARD_SIZE
+    elif d == 3:    # from the right: source x+dist
+        ok = x + dist < BOARD_SIZE
+        shift = -dist
+    else:           # from the left: source x-dist
+        ok = x - dist >= 0
+        shift = dist
+    rolled = pltpu.roll(plane, shift % LANES, 1)  # circular; negatives wrap
+    ok = ok & (lane < NUM_CELLS)
+    return jnp.where(ok, rolled, fill)
+
+
+def _pull(plane, d: int, fill, dist: int = 1):
+    """Value at each cell's direction-d neighbor at ``dist``."""
+    opp = {1: 2, 2: 1, 3: 4, 4: 3}[d]
+    return _push(plane, opp, fill, dist)
+
+
+def _dest_val(plane, dir_plane, fill):
+    out = plane
+    for d in (1, 2, 3, 4):
+        out = jnp.where(dir_plane == d, _pull(plane, d, fill), out)
+    return out
+
+
+def _dest_oob(dir_plane):
+    block = dir_plane.shape[0]
+    lane = _lane_iota(block)
+    x = lane % BOARD_SIZE
+    y = lane // BOARD_SIZE
+    return (
+        ((dir_plane == 1) & (y == 0))
+        | ((dir_plane == 2) & (y == BOARD_SIZE - 1))
+        | ((dir_plane == 3) & (x == 0))
+        | ((dir_plane == 4) & (x == BOARD_SIZE - 1))
+    )
+
+
+def _onehot_cell(cell_col, block):
+    """[BLOCK,1] cell index -> [BLOCK,LANES] one-hot."""
+    return _lane_iota(block) == cell_col
+
+
+def _is_agent(item):
+    return item >= C_AGENT0
+
+
+def _is_powerup(item):
+    return (item >= C_EXTRABOMB) & (item <= C_KICK)
+
+
+def _static_block(item):
+    return (item == C_RIGID) | (item == C_WOOD) | _is_powerup(item)
+
+
+def _flag_item(pwp):
+    return jnp.where(
+        pwp == 1,
+        C_EXTRABOMB,
+        jnp.where(pwp == 2, C_INCRRANGE, jnp.where(pwp == 3, C_KICK, C_PASSAGE)),
+    )
+
+
+_DXL = tuple(MOVE_DX)
+_DYL = tuple(MOVE_DY)
+
+
+def _mv_delta(m):
+    """Move codes [..., 4] -> (dx, dy) of the same shape."""
+    dx = jnp.zeros_like(m)
+    dy = jnp.zeros_like(m)
+    for code in range(6):
+        dx = jnp.where(m == code, _DXL[code], dx)
+        dy = jnp.where(m == code, _DYL[code], dy)
+    return dx, dy
+
+
+class _Agents:
+    """Per-agent [BLOCK,1] columns, unpacked from [BLOCK,4] refs."""
+
+    def __init__(self, x, y, bc, mb, st, kick, dead):
+        self.x, self.y, self.bc, self.mb, self.st = x, y, bc, mb, st
+        self.kick, self.dead = kick, dead
+
+
+def _ray_reach(board, origin_allowance):
+    """Blocked max-plus via doubling: best allowance ARRIVING at each cell."""
+    transmit = (board != C_RIGID) & (board != C_WOOD)
+    best = jnp.full_like(board, _NEG)
+    for d in (1, 2, 3, 4):
+        # E[c]: best exit allowance among origins within the last 2^k cells
+        # ending at c; T[c]: those cells all transmit.
+        e = origin_allowance
+        t = transmit
+        for k in (1, 2, 4, 8):
+            e = jnp.maximum(
+                e, jnp.where(t, _push(e, d, _NEG, dist=k) - k, _NEG)
+            )
+            t = t & _push(t, d, False, dist=k)
+        arriving = _push(e, d, _NEG) - 1
+        best = jnp.maximum(best, arriving)
+    return best
+
+
+def _step_block(board, hidden, ftimer, btimer, bstr, bdir, bown,
+                ax, ay, abc, amb, ast, akick, adead, moves):
+    """One full step on a [BLOCK, LANES] tile set.  All i32 except noted.
+
+    ``ax..adead, moves`` are [BLOCK, 4] i32.  Returns the same structure.
+    """
+    block = board.shape[0]
+    valid = _valid_mask(block)
+    lane = _lane_iota(block)
+    lx = lane % BOARD_SIZE
+    ly = lane // BOARD_SIZE
+
+    # ---- Phase 0: flames --------------------------------------------------
+    ftimer = jnp.maximum(ftimer - 1, 0)
+    expired = (ftimer == 0) & (board == C_FLAME)
+    board = jnp.where(expired, _flag_item(hidden & 0b11), board)
+    hidden = jnp.where(expired, 0, hidden)
+
+    # ---- Phase 1: agent movement ------------------------------------------
+    old_ax, old_ay = ax, ay
+    alive = adead == 0
+
+    mdx, mdy = _mv_delta(moves)
+    dx = ax + mdx
+    dy = ay + mdy
+
+    # FixSwitchMove (pairwise).
+    for i in range(AGENT_COUNT):
+        for j in range(i, AGENT_COUNT):
+            swap = (
+                (dx[:, i] == ax[:, j]) & (dy[:, i] == ay[:, j])
+                & (dx[:, j] == ax[:, i]) & (dy[:, j] == ay[:, i])
+            )
+            dx = dx.at[:, i].set(jnp.where(swap, ax[:, i], dx[:, i]))
+            dy = dy.at[:, i].set(jnp.where(swap, ay[:, i], dy[:, i]))
+            dx = dx.at[:, j].set(jnp.where(swap, ax[:, j], dx[:, j]))
+            dy = dy.at[:, j].set(jnp.where(swap, ay[:, j], dy[:, j]))
+
+    directional = (moves >= 1) & (moves <= 4) & ((dx != ax) | (dy != ay))
+    inb = (dx >= 0) & (dy >= 0) & (dx < BOARD_SIZE) & (dy < BOARD_SIZE)
+    dcell = jnp.clip(dx, 0, 10) + BOARD_SIZE * jnp.clip(dy, 0, 10)
+    ocell = ax + BOARD_SIZE * ay
+
+    oh_dest = [
+        _onehot_cell(dcell[:, i : i + 1], block) & inb[:, i : i + 1]
+        for i in range(4)
+    ]
+    oh_org = [_onehot_cell(ocell[:, i : i + 1], block) for i in range(4)]
+
+    def read(plane, oh):
+        return jnp.max(jnp.where(oh, plane, 0), axis=1, keepdims=True)
+
+    dest_item = jnp.concatenate(
+        [read(board, oh_dest[i]) for i in range(4)], axis=1
+    )
+
+    # Ouroboros.
+    targ = jnp.zeros((block, 4), jnp.bool_)
+    for i in range(4):
+        t = jnp.zeros((block,), jnp.bool_)
+        for j in range(4):
+            if j == i:
+                continue
+            t = t | (
+                alive[:, j]
+                & (dx[:, i] == ax[:, j])
+                & (dy[:, i] == ay[:, j])
+            )
+        targ = targ.at[:, i].set(t)
+    is_root = (adead != 0) | ~targ
+    ouroboros = ~jnp.any(is_root, axis=1, keepdims=True)  # [block,1]
+
+    victim = alive & directional & inb & (dest_item == C_FLAME)
+
+    cand = alive & ~victim
+    coll = jnp.zeros((block, 4), jnp.bool_)
+    for i in range(4):
+        c = jnp.zeros((block,), jnp.bool_)
+        for j in range(4):
+            if j == i:
+                continue
+            c = c | (cand[:, j] & (dx[:, i] == dx[:, j]) & (dy[:, i] == dy[:, j]))
+        coll = coll.at[:, i].set(c)
+
+    base = alive & directional & inb & ~victim & ~coll
+    enterable = (
+        (dest_item == C_PASSAGE) | _is_powerup(dest_item) | (dest_item == C_BOMB)
+    )
+    dest_agent = _is_agent(dest_item)
+    dest_aid = jnp.clip(dest_item - C_AGENT0, 0, 3)
+
+    move = jnp.zeros((block, 4), jnp.bool_)
+    for _ in range(AGENT_COUNT):
+        vac = jnp.zeros((block, 4), jnp.bool_)
+        for i in range(4):
+            v = jnp.zeros((block,), jnp.bool_)
+            for j in range(4):
+                v = v | (
+                    (dest_aid[:, i] == j) & (move[:, j] | victim[:, j])
+                )
+            vac = vac.at[:, i].set(dest_agent[:, i] & v)
+        move = base & (enterable | vac | (ouroboros & dest_agent))
+
+    # Kicks.
+    bomb_at_dest = jnp.concatenate(
+        [read(btimer, oh_dest[i]) for i in range(4)], axis=1
+    ) > 0
+    kick = move & (akick != 0) & bomb_at_dest
+    for i in range(4):
+        bdir = jnp.where(
+            oh_dest[i] & kick[:, i : i + 1], moves[:, i : i + 1], bdir
+        )
+
+    # Powerups.
+    take = move & _is_powerup(dest_item)
+    amb = amb + (take & (dest_item == C_EXTRABOMB))
+    ast = ast + (take & (dest_item == C_INCRRANGE))
+    akick = akick | (take & (dest_item == C_KICK))
+
+    # Board updates: vacate, then place movers.
+    org_bomb = jnp.concatenate(
+        [read(btimer, oh_org[i]) for i in range(4)], axis=1
+    ) > 0
+    vacate = move | victim
+    vac_val = jnp.where(org_bomb, C_BOMB, C_PASSAGE)
+    for i in range(4):
+        board = jnp.where(
+            oh_org[i] & vacate[:, i : i + 1], vac_val[:, i : i + 1], board
+        )
+    for i in range(4):
+        board = jnp.where(oh_dest[i] & move[:, i : i + 1], C_AGENT0 + i, board)
+
+    adead = jnp.where(victim, 1, adead)
+    ax = jnp.where(move, dx, ax)
+    ay = jnp.where(move, dy, ay)
+
+    # Plants.
+    plant = alive & (moves == M_BOMB) & (abc < amb) & ~org_bomb
+    for i in range(4):
+        sel = oh_org[i] & plant[:, i : i + 1]
+        btimer = jnp.where(sel, BOMB_LIFETIME + 1, btimer)
+        bstr = jnp.where(sel, ast[:, i : i + 1], bstr)
+        bown = jnp.where(sel, i, bown)
+        bdir = jnp.where(sel, 0, bdir)
+    abc = abc + plant
+
+    # ---- Phase 2: bomb kinematics -----------------------------------------
+    dir0 = bdir
+    directional_move = (moves >= 1) & (moves <= 4)
+
+    def read_pos(plane):
+        """plane value at each agent's (current) cell -> [block, 4]."""
+        cells = ax + BOARD_SIZE * ay
+        cols = []
+        for i in range(4):
+            oh = _onehot_cell(cells[:, i : i + 1], block)
+            cols.append(jnp.max(jnp.where(oh, plane, 0), axis=1, keepdims=True))
+        return jnp.concatenate(cols, axis=1)
+
+    def revert_chain(board, ax, ay, bdir, trigger):
+        done = jnp.zeros((block, 4), jnp.bool_)
+        cur = trigger
+        for _ in range(AGENT_COUNT + 2):
+            ox = ax - mdx
+            oy = ay - mdy
+            oinb = (ox >= 0) & (oy >= 0) & (ox < BOARD_SIZE) & (oy < BOARD_SIZE)
+            act = cur & oinb
+            done = done | act
+            oc = jnp.clip(ox, 0, 10) + BOARD_SIZE * jnp.clip(oy, 0, 10)
+
+            occ = jnp.full((block, 4), -1, I32)
+            for i in range(4):
+                o = jnp.full((block,), -1, I32)
+                for j in range(3, -1, -1):
+                    if j == i:
+                        continue
+                    here = (
+                        (adead[:, j] == 0)
+                        & (ax[:, j] == ox[:, i])
+                        & (ay[:, j] == oy[:, i])
+                    )
+                    o = jnp.where(here, j, o)
+                occ = occ.at[:, i].set(o)
+
+            no_occ = act & (occ < 0)
+            wanted = jnp.zeros((block, LANES), jnp.bool_)
+            for i in range(4):
+                wanted = wanted | (
+                    _onehot_cell(oc[:, i : i + 1], block)
+                    & no_occ[:, i : i + 1]
+                )
+            dest_wanted = _dest_val(wanted, dir0, False)
+            bomb_to_oc = (btimer > 0) & dest_wanted
+            moving_bomb = bomb_to_oc & (bdir != 0)
+            bdir = jnp.where(moving_bomb, 0, bdir)
+            board = jnp.where(moving_bomb & ~_is_agent(board), C_BOMB, board)
+
+            for i in range(4):
+                board = jnp.where(
+                    _onehot_cell(oc[:, i : i + 1], block) & act[:, i : i + 1],
+                    C_AGENT0 + i,
+                    board,
+                )
+            ax = jnp.where(act, ox, ax)
+            ay = jnp.where(act, oy, ay)
+
+            nxt = jnp.zeros((block, 4), jnp.bool_)
+            for j in range(4):
+                n = jnp.zeros((block,), jnp.bool_)
+                for i in range(4):
+                    n = n | (act[:, i] & (occ[:, i] == j))
+                nxt = nxt.at[:, j].set(n)
+            cells = ax + BOARD_SIZE * ay
+            on_stopped = jnp.zeros((block, 4), jnp.bool_)
+            for j in range(4):
+                oh = _onehot_cell(cells[:, j : j + 1], block)
+                on_stopped = on_stopped.at[:, j].set(
+                    jnp.any(oh & moving_bomb, axis=1) & (adead[:, j] == 0)
+                )
+            cur = (nxt | on_stopped) & ~done
+        return board, ax, ay, bdir
+
+    def restore_bomb_items(board, ax, ay):
+        occupied = jnp.zeros((block, LANES), jnp.bool_)
+        cells = ax + BOARD_SIZE * ay
+        for i in range(4):
+            occupied = occupied | (
+                _onehot_cell(cells[:, i : i + 1], block)
+                & (adead[:, i : i + 1] == 0)
+            )
+        show = (btimer > 0) & ~occupied & _is_agent(board)
+        return jnp.where(show, C_BOMB, board)
+
+    # Block pass (2 rounds).
+    for _ in range(2):
+        agent_moved = (ax != old_ax) | (ay != old_ay)
+        ditem = _dest_val(board, bdir, C_RIGID)
+        blocked = (btimer > 0) & (
+            _dest_oob(bdir) | _static_block(ditem) | _is_agent(ditem)
+        )
+        trigger = (
+            (adead == 0)
+            & (read_pos(jnp.where(blocked, 1, 0)) > 0)
+            & directional_move
+            & agent_moved
+        )
+        bdir = jnp.where(blocked, 0, bdir)
+        board, ax, ay, bdir = revert_chain(board, ax, ay, bdir, trigger)
+        board = restore_bomb_items(board, ax, ay)
+
+    # Move pass.
+    has_bomb = btimer > 0
+    moving = has_bomb & (bdir != 0)
+    ditem = _dest_val(board, bdir, C_RIGID)
+    can_enter = ~_dest_oob(bdir) & ~_static_block(ditem)
+
+    arrivals = jnp.where(has_bomb & ~moving, 1, 0)
+    for d in (1, 2, 3, 4):
+        arrivals = arrivals + jnp.where(
+            _push(moving & (bdir == d), d, False), 1, 0
+        )
+    dest_count = _dest_val(arrivals, jnp.where(moving, bdir, 0), 0)
+    collide = has_bomb & (dest_count >= 2)
+    stopped_kick = collide & moving
+    bdir = jnp.where(collide | (moving & ~can_enter), 0, bdir)
+
+    trigger = (
+        (adead == 0)
+        & (read_pos(jnp.where(stopped_kick, 1, 0)) > 0)
+        & directional_move
+    )
+    board, ax, ay, bdir = revert_chain(board, ax, ay, bdir, trigger)
+    board = restore_bomb_items(board, ax, ay)
+
+    do_move = (btimer > 0) & (bdir != 0) & can_enter & ~collide
+
+    def advance(plane):
+        stay = jnp.where(do_move, 0, plane)
+        inc = jnp.zeros_like(plane)
+        for d in (1, 2, 3, 4):
+            inc = jnp.maximum(
+                inc, _push(jnp.where(do_move & (bdir == d), plane, 0), d, 0)
+            )
+        return jnp.maximum(stay, inc)
+
+    new_btimer = advance(btimer)
+    new_bstr = advance(bstr)
+    new_bdir = advance(bdir)
+    new_bown = advance(bown)
+
+    arrived = jnp.zeros((block, LANES), jnp.bool_)
+    for d in (1, 2, 3, 4):
+        arrived = arrived | _push(do_move & (bdir == d), d, False)
+
+    vacated = do_move & (board == C_BOMB) & (new_btimer == 0)
+    board = jnp.where(vacated, C_PASSAGE, board)
+    slide_explode = arrived & (board == C_FLAME)
+    board = jnp.where(
+        arrived & ((board == C_PASSAGE) | _is_powerup(board)), C_BOMB, board
+    )
+    btimer, bstr, bdir, bown = new_btimer, new_bstr, new_bdir, new_bown
+
+    # ---- Phase 3: explosions ----------------------------------------------
+    has_bomb = btimer > 0
+    btimer = jnp.where(
+        slide_explode, btimer, jnp.where(has_bomb, btimer - 1, 0)
+    )
+    explode = ((btimer == 0) & has_bomb) | slide_explode
+    live = slide_explode
+
+    for _ in range(MAX_CHAIN_ROUNDS):
+        live_strength = jnp.zeros((block, LANES), I32)
+        for i in range(4):
+            live_strength = jnp.where(
+                bown == i, ast[:, i : i + 1], live_strength
+            )
+        s_cell = jnp.where(live, live_strength, bstr)
+
+        arriving = _ray_reach(board, jnp.where(explode, s_cell, _NEG))
+        burn = explode | ((arriving >= 0) & (board != C_RIGID) & valid)
+
+        was_wood = burn & (board == C_WOOD)
+        kill_cell = burn & _is_agent(board)
+        for i in range(4):
+            hit = jnp.any(kill_cell & (board == C_AGENT0 + i), axis=1)
+            adead = adead.at[:, i].set(jnp.where(hit, 1, adead[:, i]))
+            refund = jnp.sum(
+                jnp.where(explode & (bown == i), 1, 0), axis=1
+            )
+            abc = abc.at[:, i].set(abc[:, i] - refund)
+
+        next_explode = burn & (btimer > 0) & ~explode
+
+        hidden = jnp.where(burn, jnp.where(was_wood, hidden, 0), hidden)
+        board = jnp.where(burn, C_FLAME, board)
+        ftimer = jnp.where(burn, FLAME_LIFETIME, ftimer)
+        btimer = jnp.where(explode, 0, btimer)
+        bstr = jnp.where(explode, 0, bstr)
+        bdir = jnp.where(explode, 0, bdir)
+        bown = jnp.where(explode, 0, bown)
+
+        explode = next_explode
+        live = next_explode
+
+    return (board, hidden, ftimer, btimer, bstr, bdir, bown,
+            ax, ay, abc, amb, ast, akick, adead)
+
+
+def _kernel(board_ref, hidden_ref, ftimer_ref, btimer_ref, bstr_ref,
+            bdir_ref, bown_ref, ax_ref, ay_ref, abc_ref, amb_ref, ast_ref,
+            akick_ref, adead_ref, moves_ref,
+            o_board, o_hidden, o_ftimer, o_btimer, o_bstr, o_bdir, o_bown,
+            o_ax, o_ay, o_abc, o_amb, o_ast, o_akick, o_adead):
+    outs = _step_block(
+        board_ref[:], hidden_ref[:], ftimer_ref[:], btimer_ref[:],
+        bstr_ref[:], bdir_ref[:], bown_ref[:], ax_ref[:], ay_ref[:],
+        abc_ref[:], amb_ref[:], ast_ref[:], akick_ref[:], adead_ref[:],
+        moves_ref[:],
+    )
+    refs = (o_board, o_hidden, o_ftimer, o_btimer, o_bstr, o_bdir, o_bown,
+            o_ax, o_ay, o_abc, o_amb, o_ast, o_akick, o_adead)
+    for ref, val in zip(refs, outs):
+        ref[:] = val
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def pallas_step(cs: CellState, moves, interpret: bool = False) -> CellState:
+    """Batched fused step: ``cs`` planes are [B, 121], ``moves`` is [B, 4].
+
+    Pads cells to 128 lanes, runs the fused kernel over a boards grid, and
+    strips the padding.  ``alive_count``/``timestep`` are maintained outside
+    the kernel.
+    """
+    b = cs.board.shape[0]
+    assert b % BLOCK == 0 or b < BLOCK, f"batch {b} not blockable"
+    block = min(b, BLOCK)
+
+    def pad(p):
+        return jnp.pad(p, ((0, 0), (0, LANES - NUM_CELLS)))
+
+    planes = [
+        pad(cs.board), pad(cs.hidden_pow), pad(cs.flame_timer),
+        pad(cs.bomb_timer), pad(cs.bomb_strength), pad(cs.bomb_dir),
+        pad(cs.bomb_owner),
+    ]
+    agents = [
+        cs.agent_x, cs.agent_y, cs.agent_bomb_count, cs.agent_max_bombs,
+        cs.agent_strength, cs.agent_can_kick.astype(I32),
+        cs.agent_dead.astype(I32),
+    ]
+    moves = jnp.asarray(moves, I32)
+
+    grid = (b // block,)
+    plane_spec = pl.BlockSpec(
+        (block, LANES), lambda i: (i, 0), memory_space=pltpu.VMEM
+    )
+    agent_spec = pl.BlockSpec(
+        (block, 4), lambda i: (i, 0), memory_space=pltpu.VMEM
+    )
+    in_specs = [plane_spec] * 7 + [agent_spec] * 8
+    out_specs = [plane_spec] * 7 + [agent_spec] * 7
+    out_shape = (
+        [jax.ShapeDtypeStruct((b, LANES), I32)] * 7
+        + [jax.ShapeDtypeStruct((b, 4), I32)] * 7
+    )
+
+    outs = pl.pallas_call(
+        _kernel,
+        grid=grid,
+        in_specs=in_specs,
+        out_specs=out_specs,
+        out_shape=out_shape,
+        interpret=interpret,
+    )(*planes, *agents, moves)
+
+    (board, hidden, ftimer, btimer, bstr, bdir, bown,
+     ax, ay, abc, amb, ast, akick, adead) = outs
+
+    def unpad(p):
+        return p[:, :NUM_CELLS]
+
+    dead = adead != 0
+    return CellState(
+        board=unpad(board),
+        hidden_pow=unpad(hidden),
+        flame_timer=unpad(ftimer),
+        bomb_timer=unpad(btimer),
+        bomb_strength=unpad(bstr),
+        bomb_dir=unpad(bdir),
+        bomb_owner=unpad(bown),
+        agent_x=ax,
+        agent_y=ay,
+        agent_bomb_count=abc,
+        agent_max_bombs=amb,
+        agent_strength=ast,
+        agent_can_kick=akick != 0,
+        agent_dead=dead,
+        alive_count=(AGENT_COUNT - jnp.sum(dead, axis=1)).astype(I32),
+        timestep=cs.timestep,
+    )
