@@ -156,6 +156,18 @@ _DXL = tuple(MOVE_DX)
 _DYL = tuple(MOVE_DY)
 
 
+
+def _setcol(arr, i: int, val):
+    """arr[:, i] = val without scatter (Mosaic has no scatter lowering).
+
+    Bool arrays use bitwise blending: a narrow select over *stored* bools
+    lowers to an unsupported i8->i1 truncation in Mosaic.
+    """
+    cmask = jax.lax.broadcasted_iota(jnp.int32, arr.shape, 1) == i
+    if arr.dtype == jnp.bool_:
+        return (arr & ~cmask) | (cmask & val[:, None])
+    return jnp.where(cmask, val[:, None], arr)
+
 def _mv_delta(m):
     """Move codes [..., 4] -> (dx, dy) of the same shape."""
     dx = jnp.zeros_like(m)
@@ -164,14 +176,6 @@ def _mv_delta(m):
         dx = jnp.where(m == code, _DXL[code], dx)
         dy = jnp.where(m == code, _DYL[code], dy)
     return dx, dy
-
-
-class _Agents:
-    """Per-agent [BLOCK,1] columns, unpacked from [BLOCK,4] refs."""
-
-    def __init__(self, x, y, bc, mb, st, kick, dead):
-        self.x, self.y, self.bc, self.mb, self.st = x, y, bc, mb, st
-        self.kick, self.dead = kick, dead
 
 
 def _ray_reach(board, origin_allowance):
@@ -201,9 +205,6 @@ def _step_block(board, hidden, ftimer, btimer, bstr, bdir, bown,
     """
     block = board.shape[0]
     valid = _valid_mask(block)
-    lane = _lane_iota(block)
-    lx = lane % BOARD_SIZE
-    ly = lane // BOARD_SIZE
 
     # ---- Phase 0: flames --------------------------------------------------
     ftimer = jnp.maximum(ftimer - 1, 0)
@@ -226,10 +227,10 @@ def _step_block(board, hidden, ftimer, btimer, bstr, bdir, bown,
                 (dx[:, i] == ax[:, j]) & (dy[:, i] == ay[:, j])
                 & (dx[:, j] == ax[:, i]) & (dy[:, j] == ay[:, i])
             )
-            dx = dx.at[:, i].set(jnp.where(swap, ax[:, i], dx[:, i]))
-            dy = dy.at[:, i].set(jnp.where(swap, ay[:, i], dy[:, i]))
-            dx = dx.at[:, j].set(jnp.where(swap, ax[:, j], dx[:, j]))
-            dy = dy.at[:, j].set(jnp.where(swap, ay[:, j], dy[:, j]))
+            dx = _setcol(dx, i, jnp.where(swap, ax[:, i], dx[:, i]))
+            dy = _setcol(dy, i, jnp.where(swap, ay[:, i], dy[:, i]))
+            dx = _setcol(dx, j, jnp.where(swap, ax[:, j], dx[:, j]))
+            dy = _setcol(dy, j, jnp.where(swap, ay[:, j], dy[:, j]))
 
     directional = (moves >= 1) & (moves <= 4) & ((dx != ax) | (dy != ay))
     inb = (dx >= 0) & (dy >= 0) & (dx < BOARD_SIZE) & (dy < BOARD_SIZE)
@@ -261,7 +262,7 @@ def _step_block(board, hidden, ftimer, btimer, bstr, bdir, bown,
                 & (dx[:, i] == ax[:, j])
                 & (dy[:, i] == ay[:, j])
             )
-        targ = targ.at[:, i].set(t)
+        targ = _setcol(targ, i, t)
     is_root = (adead != 0) | ~targ
     ouroboros = ~jnp.any(is_root, axis=1, keepdims=True)  # [block,1]
 
@@ -275,7 +276,7 @@ def _step_block(board, hidden, ftimer, btimer, bstr, bdir, bown,
             if j == i:
                 continue
             c = c | (cand[:, j] & (dx[:, i] == dx[:, j]) & (dy[:, i] == dy[:, j]))
-        coll = coll.at[:, i].set(c)
+        coll = _setcol(coll, i, c)
 
     base = alive & directional & inb & ~victim & ~coll
     enterable = (
@@ -293,7 +294,7 @@ def _step_block(board, hidden, ftimer, btimer, bstr, bdir, bown,
                 v = v | (
                     (dest_aid[:, i] == j) & (move[:, j] | victim[:, j])
                 )
-            vac = vac.at[:, i].set(dest_agent[:, i] & v)
+            vac = _setcol(vac, i, dest_agent[:, i] & v)
         move = base & (enterable | vac | (ouroboros & dest_agent))
 
     # Kicks.
@@ -375,7 +376,7 @@ def _step_block(board, hidden, ftimer, btimer, bstr, bdir, bown,
                         & (ay[:, j] == oy[:, i])
                     )
                     o = jnp.where(here, j, o)
-                occ = occ.at[:, i].set(o)
+                occ = _setcol(occ, i, o)
 
             no_occ = act & (occ < 0)
             wanted = jnp.zeros((block, LANES), jnp.bool_)
@@ -404,13 +405,15 @@ def _step_block(board, hidden, ftimer, btimer, bstr, bdir, bown,
                 n = jnp.zeros((block,), jnp.bool_)
                 for i in range(4):
                     n = n | (act[:, i] & (occ[:, i] == j))
-                nxt = nxt.at[:, j].set(n)
+                nxt = _setcol(nxt, j, n)
             cells = ax + BOARD_SIZE * ay
             on_stopped = jnp.zeros((block, 4), jnp.bool_)
             for j in range(4):
                 oh = _onehot_cell(cells[:, j : j + 1], block)
-                on_stopped = on_stopped.at[:, j].set(
-                    jnp.any(oh & moving_bomb, axis=1) & (adead[:, j] == 0)
+                on_stopped = _setcol(
+                    on_stopped,
+                    j,
+                    jnp.any(oh & moving_bomb, axis=1) & (adead[:, j] == 0),
                 )
             cur = (nxt | on_stopped) & ~done
         return board, ax, ay, bdir
@@ -518,11 +521,11 @@ def _step_block(board, hidden, ftimer, btimer, bstr, bdir, bown,
         kill_cell = burn & _is_agent(board)
         for i in range(4):
             hit = jnp.any(kill_cell & (board == C_AGENT0 + i), axis=1)
-            adead = adead.at[:, i].set(jnp.where(hit, 1, adead[:, i]))
+            adead = _setcol(adead, i, jnp.where(hit, 1, adead[:, i]))
             refund = jnp.sum(
                 jnp.where(explode & (bown == i), 1, 0), axis=1
             )
-            abc = abc.at[:, i].set(abc[:, i] - refund)
+            abc = _setcol(abc, i, abc[:, i] - refund)
 
         next_explode = burn & (btimer > 0) & ~explode
 
