@@ -96,9 +96,14 @@ def _push(plane, d: int, fill, dist: int = 1):
     else:           # from the left: source x-dist
         ok = x - dist >= 0
         shift = dist
-    rolled = pltpu.roll(plane, shift % LANES, 1)  # circular; negatives wrap
+    # Mosaic's rotate only handles 32-bit data: round-trip bools via i32.
+    is_bool = plane.dtype == jnp.bool_
+    p = plane.astype(jnp.int32) if is_bool else plane
+    f = jnp.int32(bool(fill)) if is_bool else fill
+    rolled = pltpu.roll(p, shift % LANES, 1)  # circular; negatives wrap
     ok = ok & (lane < NUM_CELLS)
-    return jnp.where(ok, rolled, fill)
+    out = jnp.where(ok, rolled, f)
+    return (out != 0) if is_bool else out
 
 
 def _pull(plane, d: int, fill, dist: int = 1):
@@ -108,10 +113,15 @@ def _pull(plane, d: int, fill, dist: int = 1):
 
 
 def _dest_val(plane, dir_plane, fill):
-    out = plane
+    # Select over *stored* bool operands hits Mosaic's unsupported i8->i1
+    # truncation; route bools through i32.
+    is_bool = plane.dtype == jnp.bool_
+    p = plane.astype(jnp.int32) if is_bool else plane
+    f = jnp.int32(bool(fill)) if is_bool else fill
+    out = p
     for d in (1, 2, 3, 4):
-        out = jnp.where(dir_plane == d, _pull(plane, d, fill), out)
-    return out
+        out = jnp.where(dir_plane == d, _pull(p, d, f), out)
+    return (out != 0) if is_bool else out
 
 
 def _dest_oob(dir_plane):
