@@ -516,16 +516,18 @@ def _step_block(board, hidden, ftimer, btimer, bstr, bdir, bown,
     explode = ((btimer == 0) & has_bomb) | slide_explode
     live = slide_explode
 
-    for _ in range(MAX_CHAIN_ROUNDS):
+    def explosion_round(carry):
+        (board, hidden, ftimer, btimer, bstr, bdir, bown, abc, adead,
+         explode, live) = carry
         live_strength = jnp.zeros((block, LANES), I32)
         for i in range(4):
             live_strength = jnp.where(
                 bown == i, ast[:, i : i + 1], live_strength
             )
-        s_cell = jnp.where(live, live_strength, bstr)
+        s_cell = jnp.where(live != 0, live_strength, bstr)
 
-        arriving = _ray_reach(board, jnp.where(explode, s_cell, _NEG))
-        burn = explode | ((arriving >= 0) & (board != C_RIGID) & valid)
+        arriving = _ray_reach(board, jnp.where(explode != 0, s_cell, _NEG))
+        burn = (explode != 0) | ((arriving >= 0) & (board != C_RIGID) & valid)
 
         was_wood = burn & (board == C_WOOD)
         kill_cell = burn & _is_agent(board)
@@ -533,25 +535,189 @@ def _step_block(board, hidden, ftimer, btimer, bstr, bdir, bown,
             hit = jnp.any(kill_cell & (board == C_AGENT0 + i), axis=1)
             adead = _setcol(adead, i, jnp.where(hit, 1, adead[:, i]))
             refund = jnp.sum(
-                jnp.where(explode & (bown == i), 1, 0), axis=1
+                jnp.where((explode != 0) & (bown == i), 1, 0), axis=1
             )
             abc = _setcol(abc, i, abc[:, i] - refund)
 
-        next_explode = burn & (btimer > 0) & ~explode
+        next_explode = (burn & (btimer > 0) & (explode == 0)).astype(I32)
 
         hidden = jnp.where(burn, jnp.where(was_wood, hidden, 0), hidden)
         board = jnp.where(burn, C_FLAME, board)
         ftimer = jnp.where(burn, FLAME_LIFETIME, ftimer)
-        btimer = jnp.where(explode, 0, btimer)
-        bstr = jnp.where(explode, 0, bstr)
-        bdir = jnp.where(explode, 0, bdir)
-        bown = jnp.where(explode, 0, bown)
+        zero = explode != 0
+        btimer = jnp.where(zero, 0, btimer)
+        bstr = jnp.where(zero, 0, bstr)
+        bdir = jnp.where(zero, 0, bdir)
+        bown = jnp.where(zero, 0, bown)
+        return (board, hidden, ftimer, btimer, bstr, bdir, bown, abc, adead,
+                next_explode, next_explode)
 
-        explode = next_explode
-        live = next_explode
+    # i32 masks in the cond carry (stored narrow bools break Mosaic).
+    carry = (board, hidden, ftimer, btimer, bstr, bdir, bown, abc, adead,
+             explode.astype(I32), live.astype(I32))
+    for _ in range(MAX_CHAIN_ROUNDS):
+        carry = jax.lax.cond(
+            jnp.any(carry[9] != 0), explosion_round, lambda c: c, carry
+        )
+    (board, hidden, ftimer, btimer, bstr, bdir, bown, abc, adead,
+     _, _) = carry
 
     return (board, hidden, ftimer, btimer, bstr, bdir, bown,
             ax, ay, abc, amb, ast, akick, adead)
+
+
+def _fresh_boards(block):
+    """In-kernel board generation from the seeded PRNG.
+
+    Same distribution family as core.board_gen.random_board_fast (1/7 rigid,
+    1/7 wood, each wood carries a powerup w.p. 1/2, flag uniform in [1,4]);
+    modulo bias from the 2^30 draw range is < 1e-8.  Agents go to the
+    classic corners.
+    """
+    lane = _lane_iota(block)
+    valid = lane < NUM_CELLS
+
+    def draw():
+        bits = pltpu.prng_random_bits((block, LANES))
+        return (pltpu.bitcast(bits, jnp.int32) >> 1) & 0x3FFFFFFF
+
+    tmp = draw() % 7
+    board = jnp.where(
+        tmp == 1, C_RIGID, jnp.where(tmp == 2, C_WOOD, C_PASSAGE)
+    )
+    board = jnp.where(valid, board, 0)
+    flags = draw()
+    hidden = jnp.where(
+        (board == C_WOOD) & ((flags & 1) == 0), (flags >> 1) % 4 + 1, 0
+    )
+    # Corner agents (cells 0, 10, 110, 120).
+    corners = (0, 10, 120, 110)
+    for i, c in enumerate(corners):
+        board = jnp.where(lane == c, C_AGENT0 + i, board)
+    zero = jnp.zeros((block, LANES), I32)
+    aidx = jax.lax.broadcasted_iota(jnp.int32, (block, 4), 1)
+    cx = jnp.where((aidx == 1) | (aidx == 2), BOARD_SIZE - 1, 0)
+    cy = jnp.where((aidx == 2) | (aidx == 3), BOARD_SIZE - 1, 0)
+    ones4 = jnp.ones((block, 4), I32)
+    return (
+        board, hidden, zero, zero, zero, zero, zero,  # planes
+        cx, cy,                       # ax, ay
+        ones4 * 0,                    # bomb_count
+        ones4,                        # max_bombs
+        ones4,                        # strength
+        ones4 * 0,                    # can_kick
+        ones4 * 0,                    # dead
+    )
+
+
+def _chunk_kernel(seed_ref, *refs, steps: int):
+    """K fused steps with in-kernel random-agent moves and auto-reset.
+
+    State stays in VMEM across all ``steps``; HBM sees one read and one
+    write of the planes per chunk instead of per step.
+    """
+    in_refs, out_refs = refs[:14], refs[14:]
+    block = in_refs[0].shape[0]
+    pltpu.prng_seed(seed_ref[0], pl.program_id(0))
+
+    def body(_, carry):
+        bits = pltpu.prng_random_bits((block, LANES))
+        pos = (pltpu.bitcast(bits, jnp.int32) >> 1) & 0x3FFFFFFF
+        moves = pos[:, :4] % 6
+        carry = _step_block(*carry, moves)
+
+        # Auto-reset finished boards (<= 1 agent alive).
+        adead = carry[13]
+        alive = 4 - jnp.sum(adead, axis=1, keepdims=True)
+        done = alive <= 1  # [block, 1]
+        fresh = _fresh_boards(block)
+        return tuple(
+            jnp.where(done, f, c) for f, c in zip(fresh, carry)
+        )
+
+    carry = tuple(r[:] for r in in_refs)
+    carry = jax.lax.fori_loop(0, steps, body, carry)
+    for ref, val in zip(out_refs, carry):
+        ref[:] = val
+
+
+@functools.partial(
+    jax.jit, static_argnames=("steps", "interpret")
+)
+def pallas_rollout_chunk(cs: CellState, seed, steps: int = 64,
+                         interpret: bool = False) -> CellState:
+    """Run ``steps`` random-policy auto-reset env steps in ONE kernel call.
+
+    The throughput path for scripted/random self-play: per chunk the plane
+    state makes a single HBM round trip.  ``seed`` is an i32 scalar; the
+    in-kernel PRNG is seeded per (seed, block).  Win/draw bookkeeping is the
+    caller's concern (finished boards restart immediately); ``timestep``
+    advances by ``steps`` uniformly.
+    """
+    b = cs.board.shape[0]
+    block = min(b, BLOCK)
+
+    def pad(p):
+        return jnp.pad(p, ((0, 0), (0, LANES - NUM_CELLS)))
+
+    planes = [
+        pad(cs.board), pad(cs.hidden_pow), pad(cs.flame_timer),
+        pad(cs.bomb_timer), pad(cs.bomb_strength), pad(cs.bomb_dir),
+        pad(cs.bomb_owner),
+    ]
+    agents = [
+        cs.agent_x, cs.agent_y, cs.agent_bomb_count, cs.agent_max_bombs,
+        cs.agent_strength, cs.agent_can_kick.astype(I32),
+        cs.agent_dead.astype(I32),
+    ]
+    seed_arr = jnp.asarray([seed], I32)
+
+    grid = (b // block,)
+    # Index maps under scalar prefetch receive the prefetched refs too.
+    plane_spec = pl.BlockSpec(
+        (block, LANES), lambda i, s: (i, 0), memory_space=pltpu.VMEM
+    )
+    agent_spec = pl.BlockSpec(
+        (block, 4), lambda i, s: (i, 0), memory_space=pltpu.VMEM
+    )
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=grid,
+        in_specs=[plane_spec] * 7 + [agent_spec] * 7,
+        out_specs=[plane_spec] * 7 + [agent_spec] * 7,
+    )
+    outs = pl.pallas_call(
+        functools.partial(_chunk_kernel, steps=steps),
+        grid_spec=grid_spec,
+        out_shape=(
+            [jax.ShapeDtypeStruct((b, LANES), I32)] * 7
+            + [jax.ShapeDtypeStruct((b, 4), I32)] * 7
+        ),
+        interpret=interpret,
+    )(seed_arr, *planes, *agents)
+
+    (board, hidden, ftimer, btimer, bstr, bdir, bown,
+     ax, ay, abc, amb, ast, akick, adead) = outs
+
+    dead = adead != 0
+    return CellState(
+        board=board[:, :NUM_CELLS],
+        hidden_pow=hidden[:, :NUM_CELLS],
+        flame_timer=ftimer[:, :NUM_CELLS],
+        bomb_timer=btimer[:, :NUM_CELLS],
+        bomb_strength=bstr[:, :NUM_CELLS],
+        bomb_dir=bdir[:, :NUM_CELLS],
+        bomb_owner=bown[:, :NUM_CELLS],
+        agent_x=ax,
+        agent_y=ay,
+        agent_bomb_count=abc,
+        agent_max_bombs=amb,
+        agent_strength=ast,
+        agent_can_kick=akick != 0,
+        agent_dead=dead,
+        alive_count=(AGENT_COUNT - jnp.sum(dead, axis=1)).astype(I32),
+        timestep=cs.timestep + steps,
+    )
 
 
 def _kernel(board_ref, hidden_ref, ftimer_ref, btimer_ref, bstr_ref,
