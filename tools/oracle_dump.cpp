@@ -113,6 +113,40 @@ int main(int argc, char** argv)
         return 0;
     }
 
+    if (std::string(argv[1]) == "enum1" || std::string(argv[1]) == "enumkick")
+    {
+        // All 6^4 joint moves applied to the same start state: the
+        // exhaustive one-step conformance sweep (SURVEY.md hard part (a)).
+        // Optionally advance some warmup steps (moves from stdin) first.
+        bool kick = std::string(argv[1]) == "enumkick";
+        int warm = argc > 3 ? std::atoi(argv[3]) : 0;
+        auto base = std::make_unique<State>();
+        InitBoardItems(*base, (int)seed);
+        base->PutAgentsInCorners(0, 1, 2, 3);
+        if (kick)
+            for (int i = 0; i < AGENT_COUNT; i++) base->agents[i].canKick = true;
+        Move wm[AGENT_COUNT];
+        for (int t = 0; t < warm; t++)
+        {
+            int mv[4];
+            if (std::scanf("%d %d %d %d", &mv[0], &mv[1], &mv[2], &mv[3]) != 4)
+                break;
+            for (int i = 0; i < AGENT_COUNT; i++) wm[i] = (Move)mv[i];
+            Step(base.get(), wm);
+        }
+        dumpState(*base);
+        Move m[AGENT_COUNT];
+        for (int code = 0; code < 6 * 6 * 6 * 6; code++)
+        {
+            State s = *base;  // POD copy
+            int c = code;
+            for (int i = 0; i < AGENT_COUNT; i++) { m[i] = (Move)(c % 6); c /= 6; }
+            Step(&s, m);
+            dumpState(s);
+        }
+        return 0;
+    }
+
     bool kick = std::string(argv[1]) == "kicktraj";
     int steps = argc > 3 ? std::atoi(argv[3]) : 100;
 
