@@ -13,6 +13,8 @@ steps per 100 ms (≈5.86 M steps/s on a 4-core Skylake i5, README.md:90-98).
 from __future__ import annotations
 
 import json
+import os
+import signal
 import time
 
 import jax
@@ -28,7 +30,31 @@ jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 1)
 
 
+def _watchdog(seconds: int = 480) -> None:
+    """The axon TPU tunnel can wedge (first device op hangs forever); emit a
+    sentinel result instead of hanging the driver."""
+
+    def fire(signum, frame):
+        print(
+            json.dumps(
+                {
+                    "metric": "env_steps_per_s_single_chip",
+                    "value": 0.0,
+                    "unit": "steps/s",
+                    "vs_baseline": 0.0,
+                    "error": "tpu unavailable (watchdog timeout)",
+                }
+            ),
+            flush=True,
+        )
+        os._exit(0)
+
+    signal.signal(signal.SIGALRM, fire)
+    signal.alarm(seconds)
+
+
 def main() -> None:
+    _watchdog()
     from pomcpp_tpu.agents import random_agent
     from pomcpp_tpu.env import env_reset, rollout
 
