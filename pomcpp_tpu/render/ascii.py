@@ -53,8 +53,13 @@ def _glyph(item: int, color: bool) -> str:
     return s
 
 
-def render_state(state: State, color: bool = True) -> str:
-    """Format one board + agent/bomb/flame panel as a string."""
+def render_state(state, color: bool = True) -> str:
+    """Format one board + agent/bomb/flame panel as a string.
+
+    Accepts both the queue-encoded ``State`` and the plane-encoded
+    ``CellState`` (bomb/flame panels read whichever representation exists).
+    """
+    is_cell = not hasattr(state, "bombs")
     board = np.asarray(state.board).reshape(BOARD_SIZE, BOARD_SIZE)
     ax = np.asarray(state.agent_x)
     ay = np.asarray(state.agent_y)
@@ -75,28 +80,44 @@ def render_state(state: State, color: bool = True) -> str:
                 f"range:{int(st[i])} kick:{int(kick[i])}"
             )
         elif y == AGENT_COUNT + 1:
-            n = int(np.asarray(state.bomb_count))
-            h = int(np.asarray(state.bomb_head))
-            bx = np.asarray(state.bombs.x)
-            by = np.asarray(state.bombs.y)
-            bt = np.asarray(state.bombs.timer)
-            items = [
-                f"({bx[(h + i) % MAX_BOMBS]},{by[(h + i) % MAX_BOMBS]})"
-                f"t{bt[(h + i) % MAX_BOMBS]}"
-                for i in range(n)
-            ]
+            if is_cell:
+                bt = np.asarray(state.bomb_timer)
+                cells = np.nonzero(bt > 0)[0]
+                items = [
+                    f"({c % BOARD_SIZE},{c // BOARD_SIZE})t{bt[c]}"
+                    for c in cells
+                ]
+            else:
+                n = int(np.asarray(state.bomb_count))
+                h = int(np.asarray(state.bomb_head))
+                bx = np.asarray(state.bombs.x)
+                by = np.asarray(state.bombs.y)
+                bt = np.asarray(state.bombs.timer)
+                items = [
+                    f"({bx[(h + i) % MAX_BOMBS]},{by[(h + i) % MAX_BOMBS]})"
+                    f"t{bt[(h + i) % MAX_BOMBS]}"
+                    for i in range(n)
+                ]
             panel = "   bombs: " + " ".join(items)
         elif y == AGENT_COUNT + 2:
-            n = int(np.asarray(state.flame_count))
-            h = int(np.asarray(state.flame_head))
-            fx = np.asarray(state.flames.x)
-            fy = np.asarray(state.flames.y)
-            ft = np.asarray(state.flames.timer)
-            items = [
-                f"({fx[(h + i) % MAX_FLAMES]},{fy[(h + i) % MAX_FLAMES]})"
-                f"t{ft[(h + i) % MAX_FLAMES]}"
-                for i in range(n)
-            ]
+            if is_cell:
+                ft = np.asarray(state.flame_timer)
+                cells = np.nonzero(ft > 0)[0]
+                items = [
+                    f"({c % BOARD_SIZE},{c // BOARD_SIZE})t{ft[c]}"
+                    for c in cells
+                ]
+            else:
+                n = int(np.asarray(state.flame_count))
+                h = int(np.asarray(state.flame_head))
+                fx = np.asarray(state.flames.x)
+                fy = np.asarray(state.flames.y)
+                ft = np.asarray(state.flames.timer)
+                items = [
+                    f"({fx[(h + i) % MAX_FLAMES]},{fy[(h + i) % MAX_FLAMES]})"
+                    f"t{ft[(h + i) % MAX_FLAMES]}"
+                    for i in range(n)
+                ]
             panel = "   flames: " + " ".join(items)
         lines.append("║" + row + "║" + panel)
 
