@@ -56,7 +56,9 @@ from ..core.state import I32
 from .cellular import CellState
 
 LANES = 128
-BLOCK = 256
+BLOCK = 256        # boards per grid block (single-step kernel)
+CHUNK_BLOCK = 128  # smaller block for the multi-step chunk kernel: its
+                   # in-loop temporaries must fit the 16MB scoped VMEM
 MAX_CHAIN_ROUNDS = 4
 _NEG = -1000
 
@@ -440,6 +442,12 @@ def _step_block(board, hidden, ftimer, btimer, bstr, bdir, bown,
         return jnp.where(show, C_BOMB, board)
 
     # Block pass (2 rounds).
+    def blocked_revert(carry):
+        board, ax, ay, bdir, trigger = carry
+        board, ax, ay, bdir = revert_chain(board, ax, ay, bdir, trigger != 0)
+        board = restore_bomb_items(board, ax, ay)
+        return board, ax, ay, bdir, trigger
+
     for _ in range(2):
         agent_moved = (ax != old_ax) | (ay != old_ay)
         ditem = _dest_val(board, bdir, C_RIGID)
@@ -451,10 +459,14 @@ def _step_block(board, hidden, ftimer, btimer, bstr, bdir, bown,
             & (read_pos(jnp.where(blocked, 1, 0)) > 0)
             & directional_move
             & agent_moved
-        )
+        ).astype(I32)
         bdir = jnp.where(blocked, 0, bdir)
-        board, ax, ay, bdir = revert_chain(board, ax, ay, bdir, trigger)
-        board = restore_bomb_items(board, ax, ay)
+        # Bounce-backs are rare: skip the whole chain machinery when no
+        # agent in the block triggers one (real control flow in-kernel).
+        board, ax, ay, bdir, _ = jax.lax.cond(
+            jnp.any(trigger != 0), blocked_revert, lambda c: c,
+            (board, ax, ay, bdir, trigger),
+        )
 
     # Move pass.
     has_bomb = btimer > 0
@@ -476,9 +488,11 @@ def _step_block(board, hidden, ftimer, btimer, bstr, bdir, bown,
         (adead == 0)
         & (read_pos(jnp.where(stopped_kick, 1, 0)) > 0)
         & directional_move
+    ).astype(I32)
+    board, ax, ay, bdir, _ = jax.lax.cond(
+        jnp.any(trigger != 0), blocked_revert, lambda c: c,
+        (board, ax, ay, bdir, trigger),
     )
-    board, ax, ay, bdir = revert_chain(board, ax, ay, bdir, trigger)
-    board = restore_bomb_items(board, ax, ay)
 
     do_move = (btimer > 0) & (bdir != 0) & can_enter & ~collide
 
@@ -626,13 +640,20 @@ def _chunk_kernel(seed_ref, *refs, steps: int):
         moves = pos[:, :4] % 6
         carry = _step_block(*carry, moves)
 
-        # Auto-reset finished boards (<= 1 agent alive).
+        # Auto-reset finished boards (<= 1 agent alive); board regeneration
+        # is skipped entirely when no board in the block finished.
         adead = carry[13]
         alive = 4 - jnp.sum(adead, axis=1, keepdims=True)
         done = alive <= 1  # [block, 1]
-        fresh = _fresh_boards(block)
-        return tuple(
-            jnp.where(done, f, c) for f, c in zip(fresh, carry)
+
+        def do_reset(carry):
+            fresh = _fresh_boards(block)
+            return tuple(
+                jnp.where(done, f, c) for f, c in zip(fresh, carry)
+            )
+
+        return jax.lax.cond(
+            jnp.any(done), do_reset, lambda c: c, carry
         )
 
     carry = tuple(r[:] for r in in_refs)
@@ -655,7 +676,7 @@ def pallas_rollout_chunk(cs: CellState, seed, steps: int = 64,
     advances by ``steps`` uniformly.
     """
     b = cs.board.shape[0]
-    block = min(b, BLOCK)
+    block = min(b, CHUNK_BLOCK)
 
     def pad(p):
         return jnp.pad(p, ((0, 0), (0, LANES - NUM_CELLS)))
