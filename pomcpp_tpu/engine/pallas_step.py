@@ -450,10 +450,25 @@ def _step_block(board, hidden, ftimer, btimer, bstr, bdir, bown,
 
     for _ in range(2):
         agent_moved = (ax != old_ax) | (ay != old_ay)
-        ditem = _dest_val(board, bdir, C_RIGID)
-        blocked = (btimer > 0) & (
-            _dest_oob(bdir) | _static_block(ditem) | _is_agent(ditem)
-        )
+
+        # Idle bombs are blocked exactly when an agent stands on them (the
+        # walker-bounce mechanism) -- no shifts needed; the full target-cell
+        # machinery only runs when some bomb is actually sliding.
+        def blocked_full(op):
+            board, bdir, btimer = op
+            ditem = _dest_val(board, bdir, C_RIGID)
+            return ((btimer > 0) & (
+                _dest_oob(bdir) | _static_block(ditem) | _is_agent(ditem)
+            )).astype(I32)
+
+        def blocked_idle(op):
+            board, bdir, btimer = op
+            return ((btimer > 0) & (bdir == 0) & _is_agent(board)).astype(I32)
+
+        blocked = jax.lax.cond(
+            jnp.any((btimer > 0) & (bdir != 0)),
+            blocked_full, blocked_idle, (board, bdir, btimer),
+        ) != 0
         trigger = (
             (adead == 0)
             & (read_pos(jnp.where(blocked, 1, 0)) > 0)
@@ -468,59 +483,77 @@ def _step_block(board, hidden, ftimer, btimer, bstr, bdir, bown,
             (board, ax, ay, bdir, trigger),
         )
 
-    # Move pass.
-    has_bomb = btimer > 0
-    moving = has_bomb & (bdir != 0)
-    ditem = _dest_val(board, bdir, C_RIGID)
-    can_enter = ~_dest_oob(bdir) & ~_static_block(ditem)
+    # Move pass: a pure no-op unless some bomb is sliding (idle bombs can
+    # never collide with each other or enter flames), so the whole pass is
+    # cond-gated on any moving bomb.
+    def move_pass(carry):
+        board, btimer, bstr, bdir, bown, ax, ay = carry
+        has_bomb = btimer > 0
+        moving = has_bomb & (bdir != 0)
+        ditem = _dest_val(board, bdir, C_RIGID)
+        can_enter = ~_dest_oob(bdir) & ~_static_block(ditem)
 
-    arrivals = jnp.where(has_bomb & ~moving, 1, 0)
-    for d in (1, 2, 3, 4):
-        arrivals = arrivals + jnp.where(
-            _push(moving & (bdir == d), d, False), 1, 0
-        )
-    dest_count = _dest_val(arrivals, jnp.where(moving, bdir, 0), 0)
-    collide = has_bomb & (dest_count >= 2)
-    stopped_kick = collide & moving
-    bdir = jnp.where(collide | (moving & ~can_enter), 0, bdir)
-
-    trigger = (
-        (adead == 0)
-        & (read_pos(jnp.where(stopped_kick, 1, 0)) > 0)
-        & directional_move
-    ).astype(I32)
-    board, ax, ay, bdir, _ = jax.lax.cond(
-        jnp.any(trigger != 0), blocked_revert, lambda c: c,
-        (board, ax, ay, bdir, trigger),
-    )
-
-    do_move = (btimer > 0) & (bdir != 0) & can_enter & ~collide
-
-    def advance(plane):
-        stay = jnp.where(do_move, 0, plane)
-        inc = jnp.zeros_like(plane)
+        arrivals = jnp.where(has_bomb & ~moving, 1, 0)
         for d in (1, 2, 3, 4):
-            inc = jnp.maximum(
-                inc, _push(jnp.where(do_move & (bdir == d), plane, 0), d, 0)
+            arrivals = arrivals + jnp.where(
+                _push(moving & (bdir == d), d, False), 1, 0
             )
-        return jnp.maximum(stay, inc)
+        dest_count = _dest_val(arrivals, jnp.where(moving, bdir, 0), 0)
+        collide = has_bomb & (dest_count >= 2)
+        stopped_kick = collide & moving
+        bdir = jnp.where(collide | (moving & ~can_enter), 0, bdir)
 
-    new_btimer = advance(btimer)
-    new_bstr = advance(bstr)
-    new_bdir = advance(bdir)
-    new_bown = advance(bown)
+        trigger = (
+            (adead == 0)
+            & (read_pos(jnp.where(stopped_kick, 1, 0)) > 0)
+            & directional_move
+        ).astype(I32)
+        board, ax, ay, bdir, _ = jax.lax.cond(
+            jnp.any(trigger != 0), blocked_revert, lambda c: c,
+            (board, ax, ay, bdir, trigger),
+        )
 
-    arrived = jnp.zeros((block, LANES), jnp.bool_)
-    for d in (1, 2, 3, 4):
-        arrived = arrived | _push(do_move & (bdir == d), d, False)
+        do_move = (btimer > 0) & (bdir != 0) & can_enter & ~collide
 
-    vacated = do_move & (board == C_BOMB) & (new_btimer == 0)
-    board = jnp.where(vacated, C_PASSAGE, board)
-    slide_explode = arrived & (board == C_FLAME)
-    board = jnp.where(
-        arrived & ((board == C_PASSAGE) | _is_powerup(board)), C_BOMB, board
+        def advance(plane):
+            stay = jnp.where(do_move, 0, plane)
+            inc = jnp.zeros_like(plane)
+            for d in (1, 2, 3, 4):
+                inc = jnp.maximum(
+                    inc,
+                    _push(jnp.where(do_move & (bdir == d), plane, 0), d, 0),
+                )
+            return jnp.maximum(stay, inc)
+
+        new_btimer = advance(btimer)
+        new_bstr = advance(bstr)
+        new_bdir = advance(bdir)
+        new_bown = advance(bown)
+
+        arrived = jnp.zeros((block, LANES), jnp.bool_)
+        for d in (1, 2, 3, 4):
+            arrived = arrived | _push(do_move & (bdir == d), d, False)
+
+        vacated = do_move & (board == C_BOMB) & (new_btimer == 0)
+        board = jnp.where(vacated, C_PASSAGE, board)
+        slide = (arrived & (board == C_FLAME)).astype(I32)
+        board = jnp.where(
+            arrived & ((board == C_PASSAGE) | _is_powerup(board)),
+            C_BOMB, board,
+        )
+        return (board, new_btimer, new_bstr, new_bdir, new_bown, ax, ay, slide)
+
+    def no_move_pass(carry):
+        board, btimer, bstr, bdir, bown, ax, ay = carry
+        return (board, btimer, bstr, bdir, bown, ax, ay,
+                jnp.zeros((block, LANES), I32))
+
+    (board, btimer, bstr, bdir, bown, ax, ay, slide_i) = jax.lax.cond(
+        jnp.any((btimer > 0) & (bdir != 0)),
+        move_pass, no_move_pass,
+        (board, btimer, bstr, bdir, bown, ax, ay),
     )
-    btimer, bstr, bdir, bown = new_btimer, new_bstr, new_bdir, new_bown
+    slide_explode = slide_i != 0
 
     # ---- Phase 3: explosions ----------------------------------------------
     has_bomb = btimer > 0
