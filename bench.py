@@ -53,8 +53,33 @@ def _watchdog(seconds: int = 480) -> None:
     signal.alarm(seconds)
 
 
-def main() -> None:
-    _watchdog()
+def _bench_pallas() -> float:
+    """Fused-kernel path: whole 64-step chunks run in one Pallas launch."""
+    import jax.numpy as jnp
+
+    from pomcpp_tpu.core.board_gen import random_cell_state
+    from pomcpp_tpu.engine.pallas_step import pallas_rollout_chunk
+
+    cs = jax.jit(jax.vmap(random_cell_state))(
+        jax.random.split(jax.random.PRNGKey(0), BATCH)
+    )
+    cs = pallas_rollout_chunk(cs, 7, steps=CHUNK)
+    float(jnp.sum(cs.alive_count))  # host fetch = real barrier
+
+    best = 0.0
+    per_round = 4
+    for r in range(ROUNDS):
+        t0 = time.perf_counter()
+        for k in range(per_round):
+            cs = pallas_rollout_chunk(cs, 100 + r * per_round + k, steps=CHUNK)
+        float(jnp.sum(cs.alive_count))
+        dt = time.perf_counter() - t0
+        best = max(best, BATCH * CHUNK * per_round / dt)
+    return best
+
+
+def _bench_xla() -> float:
+    """Fallback: the vmapped XLA cellular engine."""
     from pomcpp_tpu.agents import random_agent
     from pomcpp_tpu.env import env_reset, rollout
 
@@ -65,8 +90,6 @@ def main() -> None:
     run = jax.jit(
         jax.vmap(lambda e: rollout(e, random_agent, CHUNK, auto_reset=True))
     )
-
-    # Warmup / compile.
     es, _ = run(es)
     jax.block_until_ready(es)
 
@@ -77,6 +100,17 @@ def main() -> None:
         jax.block_until_ready(es)
         dt = time.perf_counter() - t0
         best = max(best, BATCH * CHUNK / dt)
+    return best
+
+
+def main() -> None:
+    _watchdog()
+    try:
+        best = _bench_pallas()
+        path = "pallas_chunk"
+    except Exception:
+        best = _bench_xla()
+        path = "xla_cellular"
 
     print(
         json.dumps(
@@ -85,6 +119,7 @@ def main() -> None:
                 "value": round(best, 1),
                 "unit": "steps/s",
                 "vs_baseline": round(best / BASELINE_STEPS_PER_S, 3),
+                "path": path,
             }
         )
     )

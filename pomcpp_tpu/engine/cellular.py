@@ -248,6 +248,74 @@ def from_state(s: State) -> CellState:
     )
 
 
+def to_state(cs: CellState) -> State:
+    """Rebuild a queue-encoded ``State`` from planes (host/test path).
+
+    Bomb queue order is recovered as (timer asc, owner asc): timers are
+    monotone along the reference queue and same-step plants append in agent
+    order, so this reproduces the reference ordering for every state the
+    cellular engine can produce.  Flame records are synthesized one-per-cell
+    (origin = the cell itself) -- extinguish timing is identical because
+    per-cell timers ARE the signature semantics (see module header).
+    """
+    import numpy as np
+
+    from ..core.state import empty_state
+
+    bt = np.asarray(cs.bomb_timer)
+    cells = np.nonzero(bt > 0)[0]
+    order = sorted(
+        cells.tolist(),
+        key=lambda c: (int(bt[c]), int(np.asarray(cs.bomb_owner)[c])),
+    )
+    s = empty_state()
+    s = s._replace(
+        board=jnp.asarray(np.asarray(cs.board)),
+        hidden_pow=jnp.asarray(np.asarray(cs.hidden_pow)),
+        agent_x=cs.agent_x,
+        agent_y=cs.agent_y,
+        agent_bomb_count=cs.agent_bomb_count,
+        agent_max_bombs=cs.agent_max_bombs,
+        agent_strength=cs.agent_strength,
+        agent_can_kick=cs.agent_can_kick,
+        agent_dead=cs.agent_dead,
+        alive_count=cs.alive_count,
+        timestep=cs.timestep,
+    )
+    bombs = s.bombs
+    for i, c in enumerate(order):
+        bombs = bombs._replace(
+            x=bombs.x.at[i].set(c % BOARD_SIZE),
+            y=bombs.y.at[i].set(c // BOARD_SIZE),
+            id=bombs.id.at[i].set(int(np.asarray(cs.bomb_owner)[c])),
+            strength=bombs.strength.at[i].set(
+                int(np.asarray(cs.bomb_strength)[c])
+            ),
+            timer=bombs.timer.at[i].set(int(bt[c])),
+            dir=bombs.dir.at[i].set(int(np.asarray(cs.bomb_dir)[c])),
+        )
+    s = s._replace(bombs=bombs, bomb_count=jnp.asarray(len(order), I32))
+
+    ft = np.asarray(cs.flame_timer)
+    fcells = np.nonzero((ft > 0) & (np.asarray(cs.board) == C_FLAME))[0]
+    forder = sorted(fcells.tolist(), key=lambda c: int(ft[c]))
+    flames = s.flames
+    sig = s.flame_sig
+    for i, c in enumerate(forder):
+        flames = flames._replace(
+            x=flames.x.at[i].set(c % BOARD_SIZE),
+            y=flames.y.at[i].set(c // BOARD_SIZE),
+            timer=flames.timer.at[i].set(int(ft[c])),
+            strength=flames.strength.at[i].set(0),
+        )
+        sig = sig.at[c].set(c)
+    return s._replace(
+        flames=flames,
+        flame_count=jnp.asarray(len(forder), I32),
+        flame_sig=sig,
+    )
+
+
 # --- Phase 0: flame decay ----------------------------------------------------
 
 
