@@ -1,10 +1,15 @@
-"""Checkpoint / resume for training state (orbax-backed).
+"""Checkpoint / resume for training state.
 
 The reference has no persistence at all; its enabling property is that
 ``State`` is flat POD (SURVEY.md §5).  Ours is the same property taken
-seriously: every state object in this framework (env batches, PPO
-TrainState, plane states) is a PyTree of arrays, so checkpointing is a
-single orbax call and multi-host sharded saves work unchanged.
+seriously: every state object in this framework is a PyTree of arrays, so a
+checkpoint is just the flattened leaves.
+
+Default format: a single ``.npz`` of the leaves in treedef order (restored
+against a template tree).  This is synchronous, dependency-free and robust
+in sandboxed single-host environments; orbax (async, sharding-aware,
+multi-host) is available via ``backend="orbax"`` for pod-slice training --
+its async commit barriers time out in this container, so it is opt-in.
 """
 
 from __future__ import annotations
@@ -13,26 +18,43 @@ import os
 from typing import Any
 
 import jax
+import numpy as np
+
+_NPZ = "checkpoint.npz"
 
 
-def _checkpointer():
-    import orbax.checkpoint as ocp
-
-    return ocp.StandardCheckpointer()
-
-
-def save_checkpoint(path: str, tree: Any) -> None:
-    """Save any PyTree of arrays at ``path`` (a directory)."""
+def save_checkpoint(path: str, tree: Any, backend: str = "npz") -> None:
+    """Save any PyTree of arrays under directory ``path``."""
     path = os.path.abspath(path)
-    _checkpointer().save(path, tree, force=True)
+    if backend == "orbax":
+        import orbax.checkpoint as ocp
+
+        ocp.StandardCheckpointer().save(path, tree, force=True)
+        return
+    os.makedirs(path, exist_ok=True)
+    leaves = jax.tree.leaves(tree)
+    np.savez(
+        os.path.join(path, _NPZ),
+        **{f"leaf_{i}": np.asarray(l) for i, l in enumerate(leaves)},
+    )
 
 
-def restore_checkpoint(path: str, template: Any) -> Any:
+def restore_checkpoint(path: str, template: Any, backend: str = "npz") -> Any:
     """Restore a PyTree saved by ``save_checkpoint``.
 
-    ``template`` is a matching PyTree (e.g. a freshly-initialized state)
-    used for structure/shape/sharding information.
+    ``template`` supplies the tree structure (e.g. a freshly-initialized
+    state); leaves are loaded in flatten order.
     """
     path = os.path.abspath(path)
-    restored = _checkpointer().restore(path, template)
-    return jax.tree.map(lambda t, r: r, template, restored)
+    if backend == "orbax":
+        import orbax.checkpoint as ocp
+
+        restored = ocp.StandardCheckpointer().restore(path, template)
+        return jax.tree.map(lambda t, r: r, template, restored)
+    data = np.load(os.path.join(path, _NPZ))
+    leaves, treedef = jax.tree.flatten(template)
+    loaded = [
+        jax.numpy.asarray(data[f"leaf_{i}"]).astype(l.dtype)
+        for i, l in enumerate(leaves)
+    ]
+    return jax.tree.unflatten(treedef, loaded)
