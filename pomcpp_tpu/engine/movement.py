@@ -27,7 +27,6 @@ from __future__ import annotations
 
 import jax
 import jax.numpy as jnp
-from jax import lax
 
 from ..core.constants import (
     AGENT_COUNT,
@@ -38,7 +37,6 @@ from ..core.constants import (
     C_PASSAGE,
     M_BOMB,
     M_IDLE,
-    MAX_BOMBS,
 )
 from ..core import queue as q
 from ..core.state import (

@@ -38,7 +38,7 @@ from ..core.constants import (
     NUM_CELLS,
 )
 from ..core.state import I32, is_walkable, is_agent
-from ..engine.cellular import CellState, _push, _onehot
+from ..engine.cellular import CellState, _push
 
 _BIG = jnp.iinfo(jnp.int32).max // 4
 _X = jnp.arange(NUM_CELLS, dtype=I32) % BOARD_SIZE
