@@ -45,11 +45,17 @@ def _walkable_at(cs, x, y):
     return inb & is_walkable(_read_at(cs.board, c))
 
 
-def simple_agent_cell_act(cs: CellState, agent_id, ast: SimpleAgentState, rand):
-    """One decision over CellState; mirrors simple.py's cascade 1:1."""
+def simple_agent_cell_act(cs: CellState, agent_id, ast: SimpleAgentState, rand,
+                          dmap=None):
+    """One decision over CellState; mirrors simple.py's cascade 1:1.
+
+    ``dmap`` lets callers precompute the (agent-independent) danger map once
+    per board instead of once per agent (see simple_agent_cell_act_joint).
+    """
     ax = cs.agent_x[agent_id]
     ay = cs.agent_y[agent_id]
-    dmap = danger_map_cell(cs)
+    if dmap is None:
+        dmap = danger_map_cell(cs)
     r = fill_reach_map(cs, agent_id)
     danger = _danger_at(dmap, ax, ay)
 
@@ -129,3 +135,18 @@ def simple_agent_cell_policy(key, cs: CellState, agent_id,
     rand = jax.random.randint(key, (), 0, 5, I32)
     move, _, ast2 = simple_agent_cell_act(cs, agent_id, ast, rand)
     return move, ast2
+
+
+def simple_agent_cell_joint(key, cs: CellState, asts: SimpleAgentState):
+    """All four agents in one call, sharing one danger-map computation.
+
+    ``asts`` is the FSM state stacked over agents (leading axis 4); for
+    env.rollout_stateful with ``joint=True``.
+    """
+    dmap = danger_map_cell(cs)
+    rands = jax.random.randint(key, (4,), 0, 5, I32)
+    ids = jnp.arange(4, dtype=I32)
+    moves, _, asts2 = jax.vmap(
+        lambda aid, ast, rand: simple_agent_cell_act(cs, aid, ast, rand, dmap)
+    )(ids, asts, rands)
+    return moves, asts2

@@ -187,6 +187,7 @@ def rollout_stateful(
     n_steps: int,
     auto_reset: bool = True,
     reset_policy_state=None,
+    joint: bool = False,
 ):
     """Rollout for stateful policies (e.g. the SimpleAgent FSM).
 
@@ -194,17 +195,25 @@ def rollout_stateful(
     ``policy_state`` is a PyTree stacked over the 4 agents on its leading
     axis.  When ``auto_reset`` fires and ``reset_policy_state`` is given,
     the per-board policy state is replaced by it on episode restart.
+
+    ``joint=True`` switches the protocol to
+    ``act_fn(key, game, pstate) -> (moves_i32[4], pstate')`` -- one call for
+    all four agents, letting the policy share agent-independent work (e.g.
+    the SimpleAgent danger map).
     """
     stepper = env_step_auto_reset if auto_reset else env_step
 
     def body(carry, _):
         es, ps = carry
         act_key, next_key = jax.random.split(es.key)
-        keys = jax.random.split(act_key, AGENT_COUNT)
-        ids = jnp.arange(AGENT_COUNT, dtype=I32)
-        moves, ps_new = jax.vmap(act_fn, in_axes=(0, None, 0, 0))(
-            keys, es.game, ids, ps
-        )
+        if joint:
+            moves, ps_new = act_fn(act_key, es.game, ps)
+        else:
+            keys = jax.random.split(act_key, AGENT_COUNT)
+            ids = jnp.arange(AGENT_COUNT, dtype=I32)
+            moves, ps_new = jax.vmap(act_fn, in_axes=(0, None, 0, 0))(
+                keys, es.game, ids, ps
+            )
         moves = jnp.where(es.game.agent_dead, 0, moves).astype(I32)
         if auto_reset and reset_policy_state is not None:
             ps_new = jax.tree.map(

@@ -57,19 +57,38 @@ class ReachMap(NamedTuple):
 
 def danger_map_cell(cs: CellState) -> jax.Array:
     """Per-cell min ticks-to-blast over covering bombs (cf. IsInDanger,
-    strategy.cpp:229-249: pure cross geometry, stored strength, no chains)."""
+    strategy.cpp:229-249: pure cross geometry, stored strength, no chains).
+
+    Distance-k coverage propagates one cell per while-round in all four
+    directions and stops at the batch's max blast radius (typically 1-3),
+    instead of a fixed 10-deep unroll -- the body compiles once, which keeps
+    the FSM-policy program small enough for TPU compilation.
+    """
     has_bomb = cs.bomb_timer > 0
-    danger = jnp.where(has_bomb, cs.bomb_timer, _BIG)
-    for d in (1, 2, 3, 4):
-        t_sh = cs.bomb_timer
-        s_sh = cs.bomb_strength
-        b_sh = has_bomb
-        for k in range(1, BOARD_SIZE):
+    danger0 = jnp.where(has_bomb, cs.bomb_timer, _BIG)
+    t0 = cs.bomb_timer
+    s0 = jnp.where(has_bomb, cs.bomb_strength, 0)
+    max_s = jnp.max(s0)
+
+    def body(carry):
+        planes, danger, k = carry
+        new_planes = []
+        for d, (t_sh, s_sh) in zip((1, 2, 3, 4), planes):
             t_sh = _push(t_sh, d, 0)
             s_sh = _push(s_sh, d, 0)
-            b_sh = _push(b_sh, d, False)
-            cover = b_sh & (s_sh >= k)
+            cover = (t_sh > 0) & (s_sh >= k)
             danger = jnp.minimum(danger, jnp.where(cover, t_sh, _BIG))
+            new_planes.append((t_sh, s_sh))
+        return tuple(new_planes), danger, k + 1
+
+    def cond(carry):
+        _, _, k = carry
+        return k <= jnp.minimum(max_s, BOARD_SIZE - 1)
+
+    init = tuple((t0, s0) for _ in range(4))
+    _, danger, _ = lax.while_loop(
+        cond, body, (init, danger0, jnp.ones((), I32))
+    )
     return jnp.where(danger == _BIG, 0, danger).astype(I32)
 
 
