@@ -120,3 +120,26 @@ def test_cell_policy_batched_rollout():
     alive = np.asarray(metrics["alive"])
     assert alive.shape == (batch, 25)
     assert alive.min() >= 0 and alive.max() <= 4
+
+
+def test_joint_act_matches_per_agent():
+    from pomcpp_tpu.agents.simple_cellular import simple_agent_cell_joint
+    from pomcpp_tpu.agents.simple_cellular import simple_agent_init_batch
+
+    s = init_state_np(11)
+    cs = from_state(s)
+    asts = simple_agent_init_batch()
+    key = jax.random.PRNGKey(9)
+
+    moves_j, asts_j = jax.jit(simple_agent_cell_joint)(key, cs, asts)
+
+    # Per-agent path with the same rands.
+    rands = jax.random.randint(key, (4,), 0, 5, jnp.int32)
+    for i in range(4):
+        mv, _, ast2 = jax.jit(simple_agent_cell_act)(
+            cs, jnp.asarray(i), jax.tree.map(lambda x: x[i], asts), rands[i]
+        )
+        assert int(mv) == int(moves_j[i])
+        for a, b in zip(jax.tree.leaves(ast2),
+                        jax.tree.leaves(jax.tree.map(lambda x: x[i], asts_j))):
+            np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
