@@ -119,6 +119,7 @@ def main() -> None:
                 "value": round(best, 1),
                 "unit": "steps/s",
                 "vs_baseline": round(best / BASELINE_STEPS_PER_S, 3),
+                "steps_per_100ms": round(best / 10),  # reference report unit
                 "path": path,
             }
         )

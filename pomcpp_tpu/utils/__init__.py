@@ -1,1 +1,2 @@
 from .checkpoint import restore_checkpoint, save_checkpoint  # noqa: F401
+from .replay import load_replay, record_game, replay_frame, save_replay  # noqa: F401

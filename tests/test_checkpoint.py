@@ -30,3 +30,27 @@ def test_env_state_roundtrip(tmp_path):
     es2 = restore_checkpoint(str(tmp_path / "env"), es)
     for a, b in zip(jax.tree.leaves(es), jax.tree.leaves(es2)):
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_replay_roundtrip(tmp_path):
+    from pomcpp_tpu.core.board_gen import random_cell_state
+    from pomcpp_tpu.engine.cellular import cellular_step
+    from pomcpp_tpu.utils import load_replay, record_game, replay_frame, save_replay
+
+    game = random_cell_state(jax.random.PRNGKey(4))
+    rng = np.random.RandomState(0)
+    jstep = jax.jit(cellular_step)
+    states, moves = record_game(
+        game, jstep, lambda t, g: jnp.asarray(rng.randint(0, 6, 4), jnp.int32), 10
+    )
+    p = str(tmp_path / "replay.npz")
+    save_replay(p, states, moves)
+    loaded, moves2 = load_replay(p, game)
+    np.testing.assert_array_equal(moves, moves2)
+    for a, b in zip(jax.tree.leaves(states), jax.tree.leaves(loaded)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    # Replaying a frame renders.
+    from pomcpp_tpu.render import render_state
+
+    out = render_state(replay_frame(loaded, 5), color=False)
+    assert "t=" in out
