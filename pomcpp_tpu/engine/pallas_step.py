@@ -226,6 +226,15 @@ def _ray_reach(board, origin_allowance):
     return jnp.where(burn != 0, 0, _NEG)
 
 
+import os as _os
+
+# Trace-time phase-skip knob for cost-attribution experiments only
+# (PALLAS_SKIP_PHASES=move,bomb,explode); never set in production.
+_SKIP = frozenset(
+    p for p in _os.environ.get("PALLAS_SKIP_PHASES", "").split(",") if p
+)
+
+
 def _step_block(board, hidden, ftimer, btimer, bstr, bdir, bown,
                 ax, ay, abc, amb, ast, akick, adead, moves):
     """One full step on a [BLOCK, LANES] tile set.  All i32 except noted.
@@ -243,6 +252,9 @@ def _step_block(board, hidden, ftimer, btimer, bstr, bdir, bown,
 
     # ---- Phase 1: agent movement ------------------------------------------
     old_ax, old_ay = ax, ay
+    if "move" in _SKIP:
+        return (board, hidden, ftimer, btimer, bstr, bdir, bown,
+                ax, ay, abc, amb, ast, akick, adead)
     alive = adead == 0
 
     mdx, mdy = _mv_delta(moves)
@@ -370,6 +382,9 @@ def _step_block(board, hidden, ftimer, btimer, bstr, bdir, bown,
     abc = abc + plant
 
     # ---- Phase 2: bomb kinematics -----------------------------------------
+    if "bomb" in _SKIP:
+        return (board, hidden, ftimer, btimer, bstr, bdir, bown,
+                ax, ay, abc, amb, ast, akick, adead)
     dir0 = bdir
     directional_move = (moves >= 1) & (moves <= 4)
 
@@ -573,6 +588,9 @@ def _step_block(board, hidden, ftimer, btimer, bstr, bdir, bown,
     slide_explode = slide_i != 0
 
     # ---- Phase 3: explosions ----------------------------------------------
+    if "explode" in _SKIP:
+        return (board, hidden, ftimer, btimer, bstr, bdir, bown,
+                ax, ay, abc, amb, ast, akick, adead)
     has_bomb = btimer > 0
     btimer = jnp.where(
         slide_explode, btimer, jnp.where(has_bomb, btimer - 1, 0)
