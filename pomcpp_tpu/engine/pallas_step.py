@@ -388,9 +388,9 @@ def _step_block(board, hidden, ftimer, btimer, bstr, bdir, bown,
     dir0 = bdir
     directional_move = (moves >= 1) & (moves <= 4)
 
-    def read_pos(plane):
-        """plane value at each agent's (current) cell -> [block, 4]."""
-        cells = ax + BOARD_SIZE * ay
+    def read_pos(plane, ax_, ay_):
+        """plane value at each agent's cell (given positions) -> [block, 4]."""
+        cells = ax_ + BOARD_SIZE * ay_
         cols = []
         for i in range(4):
             oh = _onehot_cell(cells[:, i : i + 1], block)
@@ -473,51 +473,56 @@ def _step_block(board, hidden, ftimer, btimer, bstr, bdir, bown,
         show = (btimer > 0) & ~occupied & _is_agent(board)
         return jnp.where(show, C_BOMB, board)
 
-    # Block pass (2 rounds).
     def blocked_revert(carry):
         board, ax, ay, bdir, trigger = carry
         board, ax, ay, bdir = revert_chain(board, ax, ay, bdir, trigger != 0)
         board = restore_bomb_items(board, ax, ay)
         return board, ax, ay, bdir, trigger
 
-    for _ in range(2):
-        agent_moved = (ax != old_ax) | (ay != old_ay)
-
-        # Idle bombs are blocked exactly when an agent stands on them (the
-        # walker-bounce mechanism) -- no shifts needed; the full target-cell
-        # machinery only runs when some bomb is actually sliding.
-        def blocked_full(op):
-            board, bdir, btimer = op
+    def full_bomb_phase(carry):
+        """Some bomb is sliding: full block rounds + move pass."""
+        board, btimer_c, bstr, bdir, bown, ax, ay = carry
+        for _ in range(2):
+            agent_moved = (ax != old_ax) | (ay != old_ay)
             ditem = _dest_val(board, bdir, C_RIGID)
-            return ((btimer > 0) & (
+            blocked = (btimer_c > 0) & (
                 _dest_oob(bdir) | _static_block(ditem) | _is_agent(ditem)
-            )).astype(I32)
+            )
+            trigger = (
+                (adead == 0)
+                & (read_pos(jnp.where(blocked, 1, 0), ax, ay) > 0)
+                & directional_move
+                & agent_moved
+            ).astype(I32)
+            bdir = jnp.where(blocked, 0, bdir)
+            board, ax, ay, bdir, _ = jax.lax.cond(
+                jnp.any(trigger != 0), blocked_revert, lambda c: c,
+                (board, ax, ay, bdir, trigger),
+            )
+        return move_pass((board, btimer_c, bstr, bdir, bown, ax, ay))
 
-        def blocked_idle(op):
-            board, bdir, btimer = op
-            return ((btimer > 0) & (bdir == 0) & _is_agent(board)).astype(I32)
-
-        blocked = jax.lax.cond(
-            jnp.any((btimer > 0) & (bdir != 0)),
-            blocked_full, blocked_idle, (board, bdir, btimer),
-        ) != 0
+    def idle_bomb_phase(carry):
+        """No sliding bombs: the only phase-2 effect is bouncing walkers
+        off bombs they stepped on.  A bomb sits under an agent exactly when
+        btimer > 0 at the agent's cell (the board shows the agent), so two
+        position reads replace the whole blocked/target machinery."""
+        board, btimer_c, bstr, bdir, bown, ax, ay = carry
+        agent_moved = (ax != old_ax) | (ay != old_ay)
         trigger = (
             (adead == 0)
-            & (read_pos(jnp.where(blocked, 1, 0)) > 0)
+            & (read_pos(btimer_c, ax, ay) > 0)
             & directional_move
             & agent_moved
         ).astype(I32)
-        bdir = jnp.where(blocked, 0, bdir)
-        # Bounce-backs are rare: skip the whole chain machinery when no
-        # agent in the block triggers one (real control flow in-kernel).
         board, ax, ay, bdir, _ = jax.lax.cond(
             jnp.any(trigger != 0), blocked_revert, lambda c: c,
             (board, ax, ay, bdir, trigger),
         )
+        return (board, btimer_c, bstr, bdir, bown, ax, ay,
+                jnp.zeros((block, LANES), I32))
 
     # Move pass: a pure no-op unless some bomb is sliding (idle bombs can
-    # never collide with each other or enter flames), so the whole pass is
-    # cond-gated on any moving bomb.
+    # never collide with each other or enter flames).
     def move_pass(carry):
         board, btimer, bstr, bdir, bown, ax, ay = carry
         has_bomb = btimer > 0
@@ -537,7 +542,7 @@ def _step_block(board, hidden, ftimer, btimer, bstr, bdir, bown,
 
         trigger = (
             (adead == 0)
-            & (read_pos(jnp.where(stopped_kick, 1, 0)) > 0)
+            & (read_pos(jnp.where(stopped_kick, 1, 0), ax, ay) > 0)
             & directional_move
         ).astype(I32)
         board, ax, ay, bdir, _ = jax.lax.cond(
@@ -575,14 +580,9 @@ def _step_block(board, hidden, ftimer, btimer, bstr, bdir, bown,
         )
         return (board, new_btimer, new_bstr, new_bdir, new_bown, ax, ay, slide)
 
-    def no_move_pass(carry):
-        board, btimer, bstr, bdir, bown, ax, ay = carry
-        return (board, btimer, bstr, bdir, bown, ax, ay,
-                jnp.zeros((block, LANES), I32))
-
     (board, btimer, bstr, bdir, bown, ax, ay, slide_i) = jax.lax.cond(
         jnp.any((btimer > 0) & (bdir != 0)),
-        move_pass, no_move_pass,
+        full_bomb_phase, idle_bomb_phase,
         (board, btimer, bstr, bdir, bown, ax, ay),
     )
     slide_explode = slide_i != 0
