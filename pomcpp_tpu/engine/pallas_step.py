@@ -782,6 +782,11 @@ def pallas_rollout_chunk(cs: CellState, seed, steps: int = 64,
             [jax.ShapeDtypeStruct((b, LANES), I32)] * 7
             + [jax.ShapeDtypeStruct((b, 4), I32)] * 7
         ),
+        compiler_params=pltpu.CompilerParams(
+            # Default scoped-VMEM budget (16MB) caps the block at 128 boards;
+            # raising it lets bigger tiles amortize Mosaic's per-op overhead.
+            vmem_limit_bytes=100 * 1024 * 1024,
+        ),
         interpret=interpret,
     )(seed_arr, *planes, *agents)
 
