@@ -22,7 +22,7 @@ import jax
 BASELINE_STEPS_PER_S = 5_863_320.0
 BATCH = 16384
 CHUNK = 64  # steps per device call
-ROUNDS = 6
+ROUNDS = 3
 
 # Persistent compilation cache: the driver re-runs this script every round.
 jax.config.update("jax_compilation_cache_dir", "/root/repo/build/jax_cache")
@@ -30,7 +30,7 @@ jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 1)
 
 
-def _watchdog(seconds: int = 480) -> None:
+def _watchdog(seconds: int = 1800) -> None:
     """The axon TPU tunnel can wedge (first device op hangs forever); emit a
     sentinel result instead of hanging the driver."""
 
