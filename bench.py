@@ -22,7 +22,7 @@ import jax
 BASELINE_STEPS_PER_S = 5_863_320.0
 BATCH = 16384
 CHUNK = 64  # steps per device call
-ROUNDS = 3
+ROUNDS = 2
 
 # Persistent compilation cache: the driver re-runs this script every round.
 jax.config.update("jax_compilation_cache_dir", "/root/repo/build/jax_cache")
@@ -103,12 +103,29 @@ def _bench_xla() -> float:
     return best
 
 
+class _Deadline(Exception):
+    pass
+
+
 def main() -> None:
     _watchdog()
+
+    # The fused kernel is the fastest path but costs ~8 min of first compile
+    # (no cache hit through the axon AOT helper); give it a bounded shot and
+    # fall back to the XLA cellular path (~2 min total) so the driver always
+    # gets a real number.
+    def deadline(signum, frame):
+        raise _Deadline()
+
+    signal.signal(signal.SIGALRM, deadline)
+    signal.alarm(420)
     try:
         best = _bench_pallas()
         path = "pallas_chunk"
-    except Exception:
+        signal.alarm(0)
+    except BaseException:
+        signal.alarm(0)
+        _watchdog()  # re-arm the hang watchdog
         best = _bench_xla()
         path = "xla_cellular"
 
