@@ -110,15 +110,15 @@ class _Deadline(Exception):
 def main() -> None:
     _watchdog()
 
-    # The fused kernel is the fastest path but costs ~8 min of first compile
-    # (no cache hit through the axon AOT helper); give it a bounded shot and
-    # fall back to the XLA cellular path (~2 min total) so the driver always
-    # gets a real number.
+    # The fused kernel is the fastest path (~2.7M steps/s) but costs ~7.5 min
+    # of first compile (no cache hit through the axon AOT helper); give it a
+    # bounded shot and fall back to the XLA cellular path (~2 min total,
+    # ~2M steps/s) so the driver always gets a real number.
     def deadline(signum, frame):
         raise _Deadline()
 
     signal.signal(signal.SIGALRM, deadline)
-    signal.alarm(420)
+    signal.alarm(510)
     try:
         best = _bench_pallas()
         path = "pallas_chunk"
