@@ -480,9 +480,13 @@ def _step_block(board, hidden, ftimer, btimer, bstr, bdir, bown,
         return board, ax, ay, bdir, trigger
 
     def full_bomb_phase(carry):
-        """Some bomb is sliding: full block rounds + move pass."""
+        """Some bomb is sliding: block round(s) + move pass.  The second
+        block round exists only because a round-1 reversion can land an
+        agent on another bomb's target -- so it runs only after a round-1
+        reversion actually fired."""
         board, btimer_c, bstr, bdir, bown, ax, ay = carry
-        for _ in range(2):
+
+        def block_round(board, ax, ay, bdir):
             agent_moved = (ax != old_ax) | (ay != old_ay)
             ditem = _dest_val(board, bdir, C_RIGID)
             blocked = (btimer_c > 0) & (
@@ -495,10 +499,23 @@ def _step_block(board, hidden, ftimer, btimer, bstr, bdir, bown,
                 & agent_moved
             ).astype(I32)
             bdir = jnp.where(blocked, 0, bdir)
+            fired = jnp.any(trigger != 0)
             board, ax, ay, bdir, _ = jax.lax.cond(
-                jnp.any(trigger != 0), blocked_revert, lambda c: c,
+                fired, blocked_revert, lambda c: c,
                 (board, ax, ay, bdir, trigger),
             )
+            return board, ax, ay, bdir, fired
+
+        board, ax, ay, bdir, fired = block_round(board, ax, ay, bdir)
+
+        def round2(carry):
+            board, ax, ay, bdir = carry
+            board, ax, ay, bdir, _ = block_round(board, ax, ay, bdir)
+            return board, ax, ay, bdir
+
+        board, ax, ay, bdir = jax.lax.cond(
+            fired, round2, lambda c: c, (board, ax, ay, bdir)
+        )
         return move_pass((board, btimer_c, bstr, bdir, bown, ax, ay))
 
     def idle_bomb_phase(carry):
