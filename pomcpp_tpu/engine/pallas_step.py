@@ -78,14 +78,12 @@ _DSHIFT = {1: BOARD_SIZE, 2: -BOARD_SIZE, 3: 1, 4: -1}
 def _push(plane, d: int, fill, dist: int = 1):
     """Value arriving at each cell from ``dist`` moves in direction d.
 
-    out[..., c] = plane[..., c - dist*off(d)] with board-edge masking: the
-    roll is a lane rotation, so cells whose source would cross an edge (or
-    the 121..127 pad) read ``fill``.  Works on any rank with cells as the
-    last axis -- stack planes on a leading axis to amortize the roll.
+    out[c] = plane[c - dist*off(d)] with board-edge masking: the roll is a
+    lane rotation, so cells whose source would cross an edge (or the
+    121..127 pad) read ``fill``.
     """
-    axis = plane.ndim - 1
-    shape = (1,) * axis + (LANES,)
-    lane = jax.lax.broadcasted_iota(jnp.int32, shape, axis)
+    block = plane.shape[0]
+    lane = _lane_iota(block)
     x = lane % BOARD_SIZE
     y = lane // BOARD_SIZE
     if d == 1:      # from below: source y+dist
@@ -104,7 +102,7 @@ def _push(plane, d: int, fill, dist: int = 1):
     is_bool = plane.dtype == jnp.bool_
     p = plane.astype(jnp.int32) if is_bool else plane
     f = jnp.int32(bool(fill)) if is_bool else fill
-    rolled = pltpu.roll(p, shift % LANES, axis)  # circular; negatives wrap
+    rolled = pltpu.roll(p, shift % LANES, 1)  # circular; negatives wrap
     ok = ok & (lane < NUM_CELLS)
     out = jnp.where(ok, rolled, f)
     return (out != 0) if is_bool else out
@@ -280,19 +278,18 @@ def _step_block(board, hidden, ftimer, btimer, bstr, bdir, bown,
     dcell = jnp.clip(dx, 0, 10) + BOARD_SIZE * jnp.clip(dy, 0, 10)
     ocell = ax + BOARD_SIZE * ay
 
-    # One-hot masks for all four agents built in one stacked compare
-    # ([4, block, LANES]); reads reduce over lanes once per plane.
-    lane3 = jax.lax.broadcasted_iota(jnp.int32, (4, block, LANES), 2)
-    oh_dest3 = (lane3 == dcell.T[:, :, None]) & inb.T[:, :, None]
-    oh_org3 = lane3 == ocell.T[:, :, None]
-    oh_dest = [oh_dest3[i] for i in range(4)]
-    oh_org = [oh_org3[i] for i in range(4)]
+    oh_dest = [
+        _onehot_cell(dcell[:, i : i + 1], block) & inb[:, i : i + 1]
+        for i in range(4)
+    ]
+    oh_org = [_onehot_cell(ocell[:, i : i + 1], block) for i in range(4)]
 
-    def read_all(plane, oh3):
-        """plane at each agent's masked cell -> [block, 4] in one reduce."""
-        return jnp.max(jnp.where(oh3, plane[None], 0), axis=2).T
+    def read(plane, oh):
+        return jnp.max(jnp.where(oh, plane, 0), axis=1, keepdims=True)
 
-    dest_item = read_all(board, oh_dest3)
+    dest_item = jnp.concatenate(
+        [read(board, oh_dest[i]) for i in range(4)], axis=1
+    )
 
     # Ouroboros.
     targ = jnp.zeros((block, 4), jnp.bool_)
@@ -342,7 +339,9 @@ def _step_block(board, hidden, ftimer, btimer, bstr, bdir, bown,
         move = base & (enterable | vac | (ouroboros & dest_agent))
 
     # Kicks.
-    bomb_at_dest = read_all(btimer, oh_dest3) > 0
+    bomb_at_dest = jnp.concatenate(
+        [read(btimer, oh_dest[i]) for i in range(4)], axis=1
+    ) > 0
     kick = move & (akick != 0) & bomb_at_dest
     for i in range(4):
         bdir = jnp.where(
@@ -356,7 +355,9 @@ def _step_block(board, hidden, ftimer, btimer, bstr, bdir, bown,
     akick = akick | (take & (dest_item == C_KICK))
 
     # Board updates: vacate, then place movers.
-    org_bomb = read_all(btimer, oh_org3) > 0
+    org_bomb = jnp.concatenate(
+        [read(btimer, oh_org[i]) for i in range(4)], axis=1
+    ) > 0
     vacate = move | victim
     vac_val = jnp.where(org_bomb, C_BOMB, C_PASSAGE)
     for i in range(4):
@@ -568,22 +569,24 @@ def _step_block(board, hidden, ftimer, btimer, bstr, bdir, bown,
 
         do_move = (btimer > 0) & (bdir != 0) & can_enter & ~collide
 
-        # All four bomb planes advance in one stacked roll per direction
-        # (rolls dominate the move pass; stacking amortizes per-op overhead).
-        stacked = jnp.stack([btimer, bstr, bdir, bown])  # [4, block, LANES]
-        stay = jnp.where(do_move[None], 0, stacked)
-        inc = jnp.zeros_like(stacked)
+        def advance(plane):
+            stay = jnp.where(do_move, 0, plane)
+            inc = jnp.zeros_like(plane)
+            for d in (1, 2, 3, 4):
+                inc = jnp.maximum(
+                    inc,
+                    _push(jnp.where(do_move & (bdir == d), plane, 0), d, 0),
+                )
+            return jnp.maximum(stay, inc)
+
+        new_btimer = advance(btimer)
+        new_bstr = advance(bstr)
+        new_bdir = advance(bdir)
+        new_bown = advance(bown)
+
         arrived = jnp.zeros((block, LANES), jnp.bool_)
         for d in (1, 2, 3, 4):
-            sel = do_move & (bdir == d)
-            inc = jnp.maximum(
-                inc, _push(jnp.where(sel[None], stacked, 0), d, 0)
-            )
-            arrived = arrived | _push(sel, d, False)
-        moved = jnp.maximum(stay, inc)
-        new_btimer, new_bstr, new_bdir, new_bown = (
-            moved[0], moved[1], moved[2], moved[3]
-        )
+            arrived = arrived | _push(do_move & (bdir == d), d, False)
 
         vacated = do_move & (board == C_BOMB) & (new_btimer == 0)
         board = jnp.where(vacated, C_PASSAGE, board)
