@@ -26,7 +26,7 @@ from jax import lax
 
 from ..core.constants import AGENT_COUNT
 from ..core.state import I32
-from ..env.environment import EnvState, env_step_auto_reset
+from ..env.environment import TEAM_OF, EnvState, env_step_auto_reset
 from ..env.observation import observe_ego
 from ..models.actor_critic import ActorCritic, obs_to_features
 
@@ -42,6 +42,7 @@ class PPOConfig(NamedTuple):
     value_coef: float = 0.5
     entropy_coef: float = 0.01
     max_grad_norm: float = 0.5
+    team_mode: bool = False  # 2v2 ({0,2} vs {1,3}); shared team rewards
 
 
 class TrainState(NamedTuple):
@@ -114,17 +115,25 @@ def collect_rollout(params, es: EnvState, cfg: PPOConfig):
         moves, logp, value, feats = _policy_all_agents(params, es.game, k_act)
         alive_before = ~es.game.agent_dead
         moves = jnp.where(es.game.agent_dead, 0, moves)
-        es2 = env_step_auto_reset(es._replace(key=k_next), moves)
+        es2 = env_step_auto_reset(
+            es._replace(key=k_next), moves, team_mode=cfg.team_mode
+        )
 
         died = alive_before & jnp.where(
             es.done, jnp.zeros((4,), bool), es2.game.agent_dead
         )
-        won = (
-            es2.done
-            & ~es.done
-            & (jnp.arange(4) == es2.winner)
-            & alive_before
-        )
+        if cfg.team_mode:
+            # winner holds the TEAM id; every member of the winning team
+            # that is still alive shares the +1.
+            team = jnp.asarray(TEAM_OF)
+            won = es2.done & ~es.done & (team == es2.winner) & alive_before
+        else:
+            won = (
+                es2.done
+                & ~es.done
+                & (jnp.arange(4) == es2.winner)
+                & alive_before
+            )
         reward = won.astype(jnp.float32) - died.astype(jnp.float32)
         tr = Transition(
             feats=feats,

@@ -41,6 +41,7 @@ def main() -> None:
     p.add_argument("--ckpt-dir", type=str, default="")
     p.add_argument("--ckpt-every", type=int, default=10)
     p.add_argument("--resume", action="store_true")
+    p.add_argument("--team", action="store_true", help="2v2 team mode")
     args = p.parse_args()
 
     from pomcpp_tpu.env import env_reset
@@ -48,7 +49,7 @@ def main() -> None:
     from pomcpp_tpu.parallel import boards_mesh, shard_env_batch
     from pomcpp_tpu.utils import restore_checkpoint, save_checkpoint
 
-    cfg = PPOConfig(rollout_len=args.rollout, lr=args.lr)
+    cfg = PPOConfig(rollout_len=args.rollout, lr=args.lr, team_mode=args.team)
     ts = ppo_init(jax.random.PRNGKey(args.seed), cfg)
     if args.resume and args.ckpt_dir and os.path.exists(args.ckpt_dir):
         ts = restore_checkpoint(args.ckpt_dir, ts)

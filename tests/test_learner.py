@@ -86,3 +86,20 @@ def test_train_step_sharded_over_mesh():
     step = jax.jit(lambda ts, es: ppo_train_step(ts, es, cfg))
     ts2, es2, metrics = step(ts, es)
     assert np.isfinite(float(metrics["loss"]))
+
+
+def test_team_mode_train_step():
+    cfg = PPOConfig(rollout_len=8, epochs=1, minibatches=2, team_mode=True)
+    import jax as _jax
+
+    from pomcpp_tpu.env import env_reset
+    from pomcpp_tpu.learner import ppo_init, ppo_train_step
+
+    ts = ppo_init(_jax.random.PRNGKey(0), cfg)
+    es = _jax.vmap(lambda k: env_reset(k, engine="cellular"))(
+        _jax.random.split(_jax.random.PRNGKey(2), 4)
+    )
+    step = _jax.jit(lambda ts, es: ppo_train_step(ts, es, cfg))
+    ts2, es2, metrics = step(ts, es)
+    assert np.isfinite(float(metrics["loss"]))
+    assert int(ts2.update_count) == 1
