@@ -709,11 +709,13 @@ def _fresh_boards(block):
     )
 
 
-def _chunk_kernel(seed_ref, *refs, steps: int):
+def _chunk_kernel(seed_ref, *refs, steps: int, n_moves: int = 6):
     """K fused steps with in-kernel random-agent moves and auto-reset.
 
     State stays in VMEM across all ``steps``; HBM sees one read and one
-    write of the planes per chunk instead of per step.
+    write of the planes per chunk instead of per step.  ``n_moves=6`` is
+    the RandomAgent config (bombs included); ``n_moves=5`` is HarmlessAgent
+    (the reference README's published benchmark config, README.md:99).
     """
     in_refs, out_refs = refs[:14], refs[14:]
     block = in_refs[0].shape[0]
@@ -722,7 +724,7 @@ def _chunk_kernel(seed_ref, *refs, steps: int):
     def body(_, carry):
         bits = pltpu.prng_random_bits((block, LANES))
         pos = (pltpu.bitcast(bits, jnp.int32) >> 1) & 0x3FFFFFFF
-        moves = pos[:, :4] % 6
+        moves = pos[:, :4] % n_moves
         carry = _step_block(*carry, moves)
 
         # Auto-reset finished boards (<= 1 agent alive); board regeneration
@@ -748,10 +750,11 @@ def _chunk_kernel(seed_ref, *refs, steps: int):
 
 
 @functools.partial(
-    jax.jit, static_argnames=("steps", "interpret")
+    jax.jit, static_argnames=("steps", "interpret", "policy")
 )
 def pallas_rollout_chunk(cs: CellState, seed, steps: int = 64,
-                         interpret: bool = False) -> CellState:
+                         interpret: bool = False,
+                         policy: str = "random") -> CellState:
     """Run ``steps`` random-policy auto-reset env steps in ONE kernel call.
 
     The throughput path for scripted/random self-play: per chunk the plane
@@ -792,8 +795,9 @@ def pallas_rollout_chunk(cs: CellState, seed, steps: int = 64,
         in_specs=[plane_spec] * 7 + [agent_spec] * 7,
         out_specs=[plane_spec] * 7 + [agent_spec] * 7,
     )
+    n_moves = {"random": 6, "harmless": 5}[policy]
     outs = pl.pallas_call(
-        functools.partial(_chunk_kernel, steps=steps),
+        functools.partial(_chunk_kernel, steps=steps, n_moves=n_moves),
         grid_spec=grid_spec,
         out_shape=(
             [jax.ShapeDtypeStruct((b, LANES), I32)] * 7
