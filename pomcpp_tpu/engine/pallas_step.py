@@ -597,21 +597,9 @@ def _step_block(board, hidden, ftimer, btimer, bstr, bdir, bown,
         )
         return (board, new_btimer, new_bstr, new_bdir, new_bown, ax, ay, slide)
 
-    def any_bomb_phase(carry):
-        return jax.lax.cond(
-            jnp.any((btimer > 0) & (bdir != 0)),
-            full_bomb_phase, idle_bomb_phase, carry,
-        )
-
-    def no_bomb_phase(carry):
-        board, btimer_c, bstr, bdir, bown, ax, ay = carry
-        return (board, btimer_c, bstr, bdir, bown, ax, ay,
-                jnp.zeros((block, LANES), I32))
-
-    # With no bombs on the board (e.g. harmless policies, early game) the
-    # whole phase 2 is a no-op -- skip even the trigger reads.
     (board, btimer, bstr, bdir, bown, ax, ay, slide_i) = jax.lax.cond(
-        jnp.any(btimer > 0), any_bomb_phase, no_bomb_phase,
+        jnp.any((btimer > 0) & (bdir != 0)),
+        full_bomb_phase, idle_bomb_phase,
         (board, btimer, bstr, bdir, bown, ax, ay),
     )
     slide_explode = slide_i != 0
