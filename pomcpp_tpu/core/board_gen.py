@@ -179,11 +179,20 @@ def random_board_fast(key: jax.Array):
     return board, hidden
 
 
-def random_cell_state(key: jax.Array):
-    """On-device fresh plane-encoded game state (engine.cellular)."""
+def random_cell_state(key: jax.Array, fast_boards: bool = True):
+    """On-device fresh plane-encoded game state (engine.cellular).
+
+    ``fast_boards=True`` (the default, used by ``env_reset(engine=
+    "cellular")`` and hence training) draws the hidden-powerup count as
+    Binomial(n_wood, 1/2) via ``random_board_fast`` instead of the
+    reference's exact ceil(n_wood/2); pass ``fast_boards=False`` for the
+    reference's count distribution (costs an argsort per reset).
+    """
     from ..engine.cellular import empty_cell_state
 
-    board, hidden = random_board_fast(key)
+    board, hidden = (
+        random_board_fast(key) if fast_boards else random_board(key)
+    )
     cs = empty_cell_state()._replace(board=board, hidden_pow=hidden)
     # put_agents_in_corners is duck-typed over board/agent_x/agent_y.
     return put_agents_in_corners(cs, 0, 1, 2, 3)

@@ -709,22 +709,42 @@ def _fresh_boards(block):
     )
 
 
-def _chunk_kernel(seed_ref, *refs, steps: int, n_moves: int = 6):
+def _chunk_kernel(seed_ref, *refs, steps: int, n_moves: int = 6,
+                  inject: bool = False, record: bool = False,
+                  auto_reset: bool = True):
     """K fused steps with in-kernel random-agent moves and auto-reset.
 
     State stays in VMEM across all ``steps``; HBM sees one read and one
     write of the planes per chunk instead of per step.  ``n_moves=6`` is
     the RandomAgent config (bombs included); ``n_moves=5`` is HarmlessAgent
     (the reference README's published benchmark config, README.md:99).
-    """
-    in_refs, out_refs = refs[:14], refs[14:]
-    block = in_refs[0].shape[0]
-    pltpu.prng_seed(seed_ref[0], pl.program_id(0))
 
-    def body(_, carry):
-        bits = pltpu.prng_random_bits((block, LANES))
-        pos = (pltpu.bitcast(bits, jnp.int32) >> 1) & 0x3FFFFFFF
-        moves = pos[:, :4] % n_moves
+    Test hooks (static): ``inject`` reads moves from an extra input ref
+    [steps, block, 4] instead of the in-kernel PRNG (no prng_seed -> works
+    in interpret mode); ``record`` writes the moves drawn and the per-step
+    done mask to extra output refs, letting tests replay the exact
+    trajectory through the cellular engine; ``auto_reset=False`` disables
+    board regeneration.
+    """
+    n_in = 14 + (1 if inject else 0)
+    in_refs, out_refs = refs[:n_in], refs[n_in:]
+    state_in = in_refs[:14]
+    moves_in = in_refs[14] if inject else None
+    state_out = out_refs[:14]
+    rec_refs = out_refs[14:] if record else ()
+    block = state_in[0].shape[0]
+    if not inject:
+        pltpu.prng_seed(seed_ref[0], pl.program_id(0))
+
+    def body(i, carry):
+        if inject:
+            moves = pl.load(
+                moves_in, (pl.dslice(i, 1), slice(None), slice(None))
+            )[0]
+        else:
+            bits = pltpu.prng_random_bits((block, LANES))
+            pos = (pltpu.bitcast(bits, jnp.int32) >> 1) & 0x3FFFFFFF
+            moves = pos[:, :4] % n_moves
         carry = _step_block(*carry, moves)
 
         # Auto-reset finished boards (<= 1 agent alive); board regeneration
@@ -732,6 +752,21 @@ def _chunk_kernel(seed_ref, *refs, steps: int, n_moves: int = 6):
         adead = carry[13]
         alive = 4 - jnp.sum(adead, axis=1, keepdims=True)
         done = alive <= 1  # [block, 1]
+
+        if record:
+            pl.store(
+                rec_refs[0],
+                (pl.dslice(i, 1), slice(None), slice(None)),
+                moves[None],
+            )
+            pl.store(
+                rec_refs[1],
+                (pl.dslice(i, 1), slice(None), slice(None)),
+                done.astype(I32)[None],
+            )
+
+        if not auto_reset:
+            return carry
 
         def do_reset(carry):
             fresh = _fresh_boards(block)
@@ -743,18 +778,22 @@ def _chunk_kernel(seed_ref, *refs, steps: int, n_moves: int = 6):
             jnp.any(done), do_reset, lambda c: c, carry
         )
 
-    carry = tuple(r[:] for r in in_refs)
+    carry = tuple(r[:] for r in state_in)
     carry = jax.lax.fori_loop(0, steps, body, carry)
-    for ref, val in zip(out_refs, carry):
+    for ref, val in zip(state_out, carry):
         ref[:] = val
 
 
 @functools.partial(
-    jax.jit, static_argnames=("steps", "interpret", "policy")
+    jax.jit,
+    static_argnames=("steps", "interpret", "policy", "record", "auto_reset"),
 )
 def pallas_rollout_chunk(cs: CellState, seed, steps: int = 64,
                          interpret: bool = False,
-                         policy: str = "random") -> CellState:
+                         policy: str = "random",
+                         moves=None,
+                         record: bool = False,
+                         auto_reset: bool = True):
     """Run ``steps`` random-policy auto-reset env steps in ONE kernel call.
 
     The throughput path for scripted/random self-play: per chunk the plane
@@ -762,9 +801,21 @@ def pallas_rollout_chunk(cs: CellState, seed, steps: int = 64,
     in-kernel PRNG is seeded per (seed, block).  Win/draw bookkeeping is the
     caller's concern (finished boards restart immediately); ``timestep``
     advances by ``steps`` uniformly.
+
+    Test hooks: pass ``moves`` (i32[steps, B, 4]) to inject a fixed move
+    stream instead of the in-kernel PRNG (interpret-mode compatible);
+    ``record=True`` additionally returns ``(moves_drawn[steps, B, 4],
+    done[steps, B])`` so tests can replay the exact trajectory through the
+    cellular engine; ``auto_reset=False`` disables board regeneration.
+    Returns ``CellState`` (or ``(CellState, moves, done)`` when recording).
     """
     b = cs.board.shape[0]
+    assert b % CHUNK_BLOCK == 0 or b < CHUNK_BLOCK, (
+        f"batch {b} not blockable into {CHUNK_BLOCK}-board grid blocks; "
+        f"pad the batch to a multiple of {CHUNK_BLOCK}"
+    )
     block = min(b, CHUNK_BLOCK)
+    inject = moves is not None
 
     def pad(p):
         return jnp.pad(p, ((0, 0), (0, LANES - NUM_CELLS)))
@@ -789,33 +840,55 @@ def pallas_rollout_chunk(cs: CellState, seed, steps: int = 64,
     agent_spec = pl.BlockSpec(
         (block, 4), lambda i, s: (i, 0), memory_space=pltpu.VMEM
     )
+    mv_spec = pl.BlockSpec(
+        (steps, block, 4), lambda i, s: (0, i, 0), memory_space=pltpu.VMEM
+    )
+    done_spec = pl.BlockSpec(
+        (steps, block, 1), lambda i, s: (0, i, 0), memory_space=pltpu.VMEM
+    )
+    in_specs = [plane_spec] * 7 + [agent_spec] * 7
+    extra_in = ()
+    if inject:
+        in_specs.append(mv_spec)
+        extra_in = (jnp.asarray(moves, I32),)
+    out_specs = [plane_spec] * 7 + [agent_spec] * 7
+    out_shape = (
+        [jax.ShapeDtypeStruct((b, LANES), I32)] * 7
+        + [jax.ShapeDtypeStruct((b, 4), I32)] * 7
+    )
+    if record:
+        out_specs += [mv_spec, done_spec]
+        out_shape += [
+            jax.ShapeDtypeStruct((steps, b, 4), I32),
+            jax.ShapeDtypeStruct((steps, b, 1), I32),
+        ]
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
         grid=grid,
-        in_specs=[plane_spec] * 7 + [agent_spec] * 7,
-        out_specs=[plane_spec] * 7 + [agent_spec] * 7,
+        in_specs=in_specs,
+        out_specs=out_specs,
     )
     n_moves = {"random": 6, "harmless": 5}[policy]
     outs = pl.pallas_call(
-        functools.partial(_chunk_kernel, steps=steps, n_moves=n_moves),
-        grid_spec=grid_spec,
-        out_shape=(
-            [jax.ShapeDtypeStruct((b, LANES), I32)] * 7
-            + [jax.ShapeDtypeStruct((b, 4), I32)] * 7
+        functools.partial(
+            _chunk_kernel, steps=steps, n_moves=n_moves,
+            inject=inject, record=record, auto_reset=auto_reset,
         ),
+        grid_spec=grid_spec,
+        out_shape=out_shape,
         compiler_params=pltpu.CompilerParams(
             # Default scoped-VMEM budget (16MB) caps the block at 128 boards;
             # raising it lets bigger tiles amortize Mosaic's per-op overhead.
             vmem_limit_bytes=100 * 1024 * 1024,
         ),
         interpret=interpret,
-    )(seed_arr, *planes, *agents)
+    )(seed_arr, *planes, *agents, *extra_in)
 
     (board, hidden, ftimer, btimer, bstr, bdir, bown,
-     ax, ay, abc, amb, ast, akick, adead) = outs
+     ax, ay, abc, amb, ast, akick, adead) = outs[:14]
 
     dead = adead != 0
-    return CellState(
+    result = CellState(
         board=board[:, :NUM_CELLS],
         hidden_pow=hidden[:, :NUM_CELLS],
         flame_timer=ftimer[:, :NUM_CELLS],
@@ -833,6 +906,9 @@ def pallas_rollout_chunk(cs: CellState, seed, steps: int = 64,
         alive_count=(AGENT_COUNT - jnp.sum(dead, axis=1)).astype(I32),
         timestep=cs.timestep + steps,
     )
+    if record:
+        return result, outs[14], outs[15][..., 0] != 0
+    return result
 
 
 def _kernel(board_ref, hidden_ref, ftimer_ref, btimer_ref, bstr_ref,

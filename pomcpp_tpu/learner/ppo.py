@@ -100,6 +100,9 @@ class Transition(NamedTuple):
     reward: jax.Array   # f32[4]
     alive: jax.Array    # bool[4] agent was alive when acting
     done: jax.Array     # bool    episode boundary after this step
+    valid: jax.Array    # bool    False for the frozen post-terminal step that
+                        #         auto-reset replaces (its feats/reward are
+                        #         junk; excluded from loss and GAE bootstraps)
 
 
 def collect_rollout(params, es: EnvState, cfg: PPOConfig):
@@ -143,6 +146,7 @@ def collect_rollout(params, es: EnvState, cfg: PPOConfig):
             reward=reward,
             alive=alive_before,
             done=es2.done & ~es.done,
+            valid=~es.done,
         )
         return es2, tr
 
@@ -178,11 +182,15 @@ def _ppo_loss(params, batch, cfg: PPOConfig):
     logp_all = jax.nn.log_softmax(logits)
     logp = jnp.take_along_axis(logp_all, move[:, None], axis=1)[:, 0]
     ratio = jnp.exp(logp - old_logp)
-    adv_n = (adv - adv.mean()) / (adv.std() + 1e-8)
-    unclipped = ratio * adv_n
-    clipped = jnp.clip(ratio, 1 - cfg.clip_eps, 1 + cfg.clip_eps) * adv_n
     w = alive.astype(jnp.float32)
     wsum = w.sum() + 1e-8
+    # Masked advantage normalization: junk (invalid/dead) entries must not
+    # shift the statistics of the real ones.
+    adv_mean = (adv * w).sum() / wsum
+    adv_std = jnp.sqrt((jnp.square(adv - adv_mean) * w).sum() / wsum)
+    adv_n = (adv - adv_mean) / (adv_std + 1e-8)
+    unclipped = ratio * adv_n
+    clipped = jnp.clip(ratio, 1 - cfg.clip_eps, 1 + cfg.clip_eps) * adv_n
     pg_loss = -(jnp.minimum(unclipped, clipped) * w).sum() / wsum
     v_loss = (jnp.square(value - ret) * w).sum() / wsum
     entropy = (
@@ -265,7 +273,7 @@ def ppo_train_step(ts: TrainState, es_batch: EnvState, cfg: PPOConfig = PPOConfi
         flat(traj.logp),
         flat(adv),
         flat(ret),
-        flat(traj.alive),
+        flat(traj.alive & traj.valid[:, :, None]),
     )
     ts, metrics = ppo_update(ts, flat_batch, cfg)
     metrics["reward_mean"] = traj.reward.sum() / jnp.maximum(

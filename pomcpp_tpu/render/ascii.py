@@ -167,3 +167,32 @@ def render_path(rmap, target: int, color: bool = True) -> str:
             row.append(f"{red}{d}{reset}" if c in path else d)
         lines.append(" ".join(row))
     return "\n".join(lines)
+
+
+def render_dependency(dependency) -> str:
+    """Movement dependency array, one ``[i <- j]`` line per agent
+    (reference PrintDependency, step_utility.cpp:339-354)."""
+    dep = np.asarray(dependency)
+    lines = []
+    for i in range(len(dep)):
+        d = int(dep[i])
+        lines.append(f"[{i} <- ]" if d == -1 else f"[{i} <- {d}]")
+    return "\n".join(lines)
+
+
+def render_dependency_chain(dependency, chain) -> str:
+    """Each movement chain walked root-to-tail, ``r <- a <- b`` per line
+    (reference PrintDependencyChain, step_utility.cpp:356-371)."""
+    dep = np.asarray(dependency)
+    lines = []
+    for c in np.asarray(chain):
+        c = int(c)
+        if c == -1:
+            continue
+        parts = [str(c)]
+        k = int(dep[c])
+        while k != -1:
+            parts.append(str(k))
+            k = int(dep[k])
+        lines.append(" <- ".join(parts))
+    return "\n".join(lines)

@@ -53,8 +53,18 @@ def restore_checkpoint(path: str, template: Any, backend: str = "npz") -> Any:
         return jax.tree.map(lambda t, r: r, template, restored)
     data = np.load(os.path.join(path, _NPZ))
     leaves, treedef = jax.tree.flatten(template)
-    loaded = [
-        jax.numpy.asarray(data[f"leaf_{i}"]).astype(l.dtype)
-        for i, l in enumerate(leaves)
-    ]
+    if len(data.files) != len(leaves):
+        raise ValueError(
+            f"checkpoint at {path} has {len(data.files)} leaves but the "
+            f"template has {len(leaves)} -- wrong model/config?"
+        )
+    loaded = []
+    for i, l in enumerate(leaves):
+        arr = data[f"leaf_{i}"]
+        if tuple(arr.shape) != tuple(np.shape(l)):
+            raise ValueError(
+                f"checkpoint leaf_{i} shape {tuple(arr.shape)} does not match "
+                f"template shape {tuple(np.shape(l))} -- wrong model/config?"
+            )
+        loaded.append(jax.numpy.asarray(arr).astype(l.dtype))
     return jax.tree.unflatten(treedef, loaded)

@@ -18,7 +18,7 @@ pytestmark = pytest.mark.skipif(
     orc.ensure_oracle() is None, reason="reference oracle not buildable"
 )
 
-BOARD_SEEDS = [0x1337, 0x13327] + list(range(40))
+BOARD_SEEDS = [0x1337, 0x13327] + list(range(200))
 TRAJ_SEEDS = [0x1337, 0x13327, 0, 1, 2, 3, 4, 5, 6, 7]
 
 

@@ -103,3 +103,22 @@ def test_dead_agents_as_roots():
     s = kill_many(s, 1)
     _, roots, _ = _deps(s, moves(M_RIGHT, M_DOWN, M_LEFT, M_UP))
     require_roots(roots, 0, 1)
+
+
+def test_dependency_printers():
+    """C22 (PrintDependency/PrintDependencyChain, step_utility.cpp:339-371)."""
+    from pomcpp_tpu.render import render_dependency, render_dependency_chain
+
+    dep = [-1, 0, 1, -1]
+    assert render_dependency(dep).splitlines() == [
+        "[0 <- ]",
+        "[1 <- 0]",
+        "[2 <- 1]",
+        "[3 <- ]",
+    ]
+    # Roots 3 and 2: chain 2 walks 2 <- 1 <- 0 via the dependency array.
+    chain = [3, 2, -1, -1, -1]
+    assert render_dependency_chain(dep, chain).splitlines() == [
+        "3",
+        "2 <- 1 <- 0",
+    ]
