@@ -738,9 +738,7 @@ def _chunk_kernel(seed_ref, *refs, steps: int, n_moves: int = 6,
 
     def body(i, carry):
         if inject:
-            moves = pl.load(
-                moves_in, (pl.dslice(i, 1), slice(None), slice(None))
-            )[0]
+            moves = moves_in[pl.dslice(i, 1), :, :][0]
         else:
             bits = pltpu.prng_random_bits((block, LANES))
             pos = (pltpu.bitcast(bits, jnp.int32) >> 1) & 0x3FFFFFFF
@@ -754,16 +752,8 @@ def _chunk_kernel(seed_ref, *refs, steps: int, n_moves: int = 6,
         done = alive <= 1  # [block, 1]
 
         if record:
-            pl.store(
-                rec_refs[0],
-                (pl.dslice(i, 1), slice(None), slice(None)),
-                moves[None],
-            )
-            pl.store(
-                rec_refs[1],
-                (pl.dslice(i, 1), slice(None), slice(None)),
-                done.astype(I32)[None],
-            )
+            rec_refs[0][pl.dslice(i, 1), :, :] = moves[None]
+            rec_refs[1][pl.dslice(i, 1), :, :] = done.astype(I32)[None]
 
         if not auto_reset:
             return carry

@@ -48,3 +48,111 @@ def test_pallas_matches_cellular_trajectory(seed, kick):
         csb = ref
         if int(np.asarray(csb.alive_count)[0]) <= 1:
             break
+
+
+def _random_cell_batch(key, n):
+    from pomcpp_tpu.core.board_gen import random_cell_state
+
+    return jax.vmap(random_cell_state)(jax.random.split(key, n))
+
+
+def test_chunk_kernel_matches_cellular_rollout():
+    """Equivalence of the benched entry point (pallas_rollout_chunk) against
+    a cellular-engine rollout driven by the same move stream.
+
+    Uses the kernel's move-injection hook (auto-reset off, no PRNG) so the
+    multi-step fused path -- the exact code bench.py times -- runs under
+    interpret mode on CPU.  VERDICT r1 item 3.
+    """
+    from pomcpp_tpu.engine.pallas_step import pallas_rollout_chunk
+
+    steps, b = 20, 8
+    csb = _random_cell_batch(jax.random.PRNGKey(42), b)
+    # Give two boards kick so the slide paths execute.
+    kick = jnp.zeros((b, 4), bool).at[:2].set(True)
+    csb = csb._replace(agent_can_kick=kick)
+    rng = np.random.RandomState(7)
+    moves = jnp.asarray(rng.randint(0, 6, size=(steps, b, 4)), jnp.int32)
+
+    got = pallas_rollout_chunk(
+        csb, 0, steps=steps, interpret=True, moves=moves, auto_reset=False
+    )
+
+    ref = csb
+    for t in range(steps):
+        ref = jax.vmap(_jcell)(ref, moves[t])
+    bad = _diff_fields(ref, got)
+    assert not bad, f"chunk vs cellular rollout: fields differ: {bad}"
+
+
+def test_chunk_kernel_records_moves_and_done():
+    """The record hook returns exactly the injected moves and a done mask
+    consistent with the alive count trajectory."""
+    from pomcpp_tpu.engine.pallas_step import pallas_rollout_chunk
+
+    steps, b = 6, 4
+    csb = _random_cell_batch(jax.random.PRNGKey(3), b)
+    # Kill 3 agents on board 0: it is done from the start.
+    dead0 = jnp.zeros((b, 4), bool).at[0, 1:].set(True)
+    csb = csb._replace(
+        agent_dead=dead0,
+        alive_count=jnp.where(jnp.arange(b) == 0, 1, 4).astype(jnp.int32),
+    )
+    rng = np.random.RandomState(1)
+    moves = jnp.asarray(rng.randint(0, 5, size=(steps, b, 4)), jnp.int32)
+    got, mrec, drec = pallas_rollout_chunk(
+        csb, 0, steps=steps, interpret=True, moves=moves,
+        auto_reset=False, record=True,
+    )
+    assert np.array_equal(np.asarray(mrec), np.asarray(moves))
+    drec = np.asarray(drec)
+    assert drec[:, 0].all(), "board 0 (1 agent alive) must report done"
+    # Done is monotone without auto-reset.
+    assert (drec[1:] >= drec[:-1]).all()
+
+
+def test_chain_depth_cap_semantics():
+    """Pin MAX_CHAIN_ROUNDS=4: a 6-deep same-step bomb chain explodes only
+    its first 4 bombs in the step; survivors sit under the flames and
+    explode when their own timers run out (documented divergence from the
+    cellular engine, which resolves the whole chain in one step).
+    """
+    from pomcpp_tpu.core.state import empty_state, plant_bomb, put_agent
+    from pomcpp_tpu.engine.pallas_step import MAX_CHAIN_ROUNDS, pallas_step
+
+    assert MAX_CHAIN_ROUNDS == 4
+    s = empty_state()
+    s = put_agent(s, 10, 10, 0)
+    s = put_agent(s, 10, 9, 1)
+    s = put_agent(s, 9, 10, 2)
+    s = put_agent(s, 9, 9, 3)
+    s = s._replace(agent_max_bombs=jnp.full((4,), 8, jnp.int32))
+    # Six bombs in a row; bomb k at (k, 0).  b0 fires next step, the rest
+    # are far from exploding on their own.
+    s = plant_bomb(s, 0, 0, 0, set_item=True, life=1)
+    for k in range(1, 6):
+        s = plant_bomb(s, k, 0, (k % 4), set_item=True, life=9)
+    cs = from_state(s)
+    csb = jax.tree.map(lambda x: jnp.stack([x]), cs)
+    mv = jnp.zeros((1, 4), jnp.int32)
+
+    got = pallas_step(csb, mv, interpret=True)
+    bt = np.asarray(got.bomb_timer)[0]
+    board = np.asarray(got.board)[0]
+    C_FLAME = 4 << 16
+    from pomcpp_tpu.core.constants import C_FLAME  # noqa: F811
+
+    # Bombs 0..3 exploded (4 chain rounds); cells 0..4 burn.
+    assert (bt[[0, 1, 2, 3]] == 0).all()
+    assert (board[[0, 1, 2, 3, 4]] == C_FLAME).all()
+    # Bombs 4,5 survive with ticked timers.
+    assert bt[4] == 8 and bt[5] == 8
+    # The cellular engine resolves the full chain the same step.
+    cell = jax.vmap(_jcell)(csb, mv)
+    cbt = np.asarray(cell.bomb_timer)[0]
+    assert (cbt[:6] == 0).all()
+    # The survivors explode on their own schedule in later steps.
+    for _ in range(8):
+        got = pallas_step(got, mv, interpret=True)
+    bt = np.asarray(got.bomb_timer)[0]
+    assert bt[4] == 0 and bt[5] == 0
