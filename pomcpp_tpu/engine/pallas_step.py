@@ -251,101 +251,114 @@ def _step_block(board, hidden, ftimer, btimer, bstr, bdir, bown,
     hidden = jnp.where(expired, 0, hidden)
 
     # ---- Phase 1: agent movement ------------------------------------------
+    # Op-diet re-derivation (round 2): positions are flat cell indices, all
+    # cross-agent comparisons are 4-lane rotations of whole [block,4] arrays
+    # (a [block,4] op costs the same as a [block,128] op, so the win is op
+    # COUNT), and the 12 separate one-hot plane reads collapse into ONE
+    # packed lane-reduction.  Logic is formula-for-formula equivalent to the
+    # round-1 version (validated against engine/cellular.py by
+    # tests/test_pallas_step.py).
     old_ax, old_ay = ax, ay
     if "move" in _SKIP:
         return (board, hidden, ftimer, btimer, bstr, bdir, bown,
                 ax, ay, abc, amb, ast, akick, adead)
     alive = adead == 0
+    lane = _lane_iota(block)
+    lane4 = jax.lax.broadcasted_iota(I32, (block, 4), 1)
 
-    mdx, mdy = _mv_delta(moves)
-    dx = ax + mdx
-    dy = ay + mdy
+    def rot4(a, k):
+        """Rotate the agent axis left by k: out[:, i] = a[:, (i+k) % 4]."""
+        if a.dtype == jnp.bool_:
+            b = jnp.concatenate([a[:, k:].astype(I32), a[:, :k].astype(I32)], 1)
+            return b != 0
+        return jnp.concatenate([a[:, k:], a[:, :k]], axis=1)
 
-    # FixSwitchMove (pairwise).
-    for i in range(AGENT_COUNT):
-        for j in range(i, AGENT_COUNT):
-            swap = (
-                (dx[:, i] == ax[:, j]) & (dy[:, i] == ay[:, j])
-                & (dx[:, j] == ax[:, i]) & (dy[:, j] == ay[:, i])
-            )
-            dx = _setcol(dx, i, jnp.where(swap, ax[:, i], dx[:, i]))
-            dy = _setcol(dy, i, jnp.where(swap, ay[:, i], dy[:, i]))
-            dx = _setcol(dx, j, jnp.where(swap, ax[:, j], dx[:, j]))
-            dy = _setcol(dy, j, jnp.where(swap, ay[:, j], dy[:, j]))
-
-    directional = (moves >= 1) & (moves <= 4) & ((dx != ax) | (dy != ay))
-    inb = (dx >= 0) & (dy >= 0) & (dx < BOARD_SIZE) & (dy < BOARD_SIZE)
-    dcell = jnp.clip(dx, 0, 10) + BOARD_SIZE * jnp.clip(dy, 0, 10)
-    ocell = ax + BOARD_SIZE * ay
-
-    oh_dest = [
-        _onehot_cell(dcell[:, i : i + 1], block) & inb[:, i : i + 1]
-        for i in range(4)
-    ]
-    oh_org = [_onehot_cell(ocell[:, i : i + 1], block) for i in range(4)]
-
-    def read(plane, oh):
-        return jnp.max(jnp.where(oh, plane, 0), axis=1, keepdims=True)
-
-    dest_item = jnp.concatenate(
-        [read(board, oh_dest[i]) for i in range(4)], axis=1
+    ac = ax + BOARD_SIZE * ay
+    m = moves
+    off = jnp.where(
+        m == 1, -BOARD_SIZE,
+        jnp.where(m == 2, BOARD_SIZE, jnp.where(m == 3, -1, jnp.where(m == 4, 1, 0))),
     )
+    acx = ac % BOARD_SIZE
+    inb = jnp.where(
+        m == 1, ac >= BOARD_SIZE,
+        jnp.where(
+            m == 2, ac < NUM_CELLS - BOARD_SIZE,
+            jnp.where(m == 3, acx > 0, jnp.where(m == 4, acx < BOARD_SIZE - 1, True)),
+        ),
+    )
+    # Comparison-space destination: in-bounds -> real cell; out-of-bounds ->
+    # a unique code >= 128 per (origin, move), mirroring the reference's
+    # off-board coordinates (distinct agents never share an OOB target).
+    dcell = jnp.where(inb, ac + off, 128 + ac + NUM_CELLS * m)
 
-    # Ouroboros.
-    targ = jnp.zeros((block, 4), jnp.bool_)
-    for i in range(4):
-        t = jnp.zeros((block,), jnp.bool_)
-        for j in range(4):
-            if j == i:
-                continue
-            t = t | (
-                alive[:, j]
-                & (dx[:, i] == ax[:, j])
-                & (dy[:, i] == ay[:, j])
-            )
-        targ = _setcol(targ, i, t)
+    # FixSwitchMove: mutual destination exchange freezes both (pairwise
+    # detection is order-independent: a frozen agent's dest becomes its own
+    # origin, which cannot create new swaps).
+    swap = jnp.zeros((block, 4), jnp.bool_)
+    rac = [None, rot4(ac, 1), rot4(ac, 2), rot4(ac, 3)]
+    for k in (1, 2, 3):
+        swap = swap | ((dcell == rac[k]) & (rot4(dcell, k) == ac))
+    dcell = jnp.where(swap, ac, dcell)
+
+    directional = (m >= 1) & (m <= 4) & (dcell != ac)
+
+    # tk[k]: "my destination is the current cell of live agent i+k".
+    ralive = [None, rot4(alive, 1), rot4(alive, 2), rot4(alive, 3)]
+    tk = [None] + [(dcell == rac[k]) & ralive[k] for k in (1, 2, 3)]
+    targ = tk[1] | tk[2] | tk[3]
     is_root = (adead != 0) | ~targ
     ouroboros = ~jnp.any(is_root, axis=1, keepdims=True)  # [block,1]
+
+    # Packed plane read: ONE lane reduction yields, per agent, the board
+    # item + bomb presence at the destination (5-bit fields, bits [0,20))
+    # and bomb presence at the origin (1-bit fields, bits [20,24)).
+    bomb_b = (btimer > 0).astype(I32)
+    pk = board + (bomb_b << 4)
+    rdcell = jnp.where(inb, ac + off, 127)  # void lane reads 0
+    oh_dest = [lane == rdcell[:, i : i + 1] for i in range(4)]
+    oh_org = [lane == ac[:, i : i + 1] for i in range(4)]
+    w = jnp.zeros((block, LANES), I32)
+    for i in range(4):
+        w = w + (oh_dest[i].astype(I32) << (5 * i)) + (
+            oh_org[i].astype(I32) << (20 + i)
+        )
+    red = jnp.sum(pk * (w & 0xFFFFF) + bomb_b * (w >> 20 << 20), axis=1,
+                  keepdims=True)
+    dvals = (red >> (5 * lane4)) & 31
+    dest_item = dvals & 15
+    bomb_at_dest = dvals >= 16
+    org_bomb = ((red >> 20) >> lane4) & 1 != 0
 
     victim = alive & directional & inb & (dest_item == C_FLAME)
 
     cand = alive & ~victim
     coll = jnp.zeros((block, 4), jnp.bool_)
-    for i in range(4):
-        c = jnp.zeros((block,), jnp.bool_)
-        for j in range(4):
-            if j == i:
-                continue
-            c = c | (cand[:, j] & (dx[:, i] == dx[:, j]) & (dy[:, i] == dy[:, j]))
-        coll = _setcol(coll, i, c)
+    for k in (1, 2, 3):
+        coll = coll | (rot4(cand, k) & (dcell == rot4(dcell, k)))
 
     base = alive & directional & inb & ~victim & ~coll
     enterable = (
         (dest_item == C_PASSAGE) | _is_powerup(dest_item) | (dest_item == C_BOMB)
     )
-    dest_agent = _is_agent(dest_item)
-    dest_aid = jnp.clip(dest_item - C_AGENT0, 0, 3)
+    # "Destination holds a live agent" == targ (board and positions agree).
+    ouro_enter = ouroboros & targ
 
     move = jnp.zeros((block, 4), jnp.bool_)
     for _ in range(AGENT_COUNT):
-        vac = jnp.zeros((block, 4), jnp.bool_)
-        for i in range(4):
-            v = jnp.zeros((block,), jnp.bool_)
-            for j in range(4):
-                v = v | (
-                    (dest_aid[:, i] == j) & (move[:, j] | victim[:, j])
-                )
-            vac = _setcol(vac, i, dest_agent[:, i] & v)
-        move = base & (enterable | vac | (ouroboros & dest_agent))
+        mv_or_v = move | victim
+        vac = (
+            (tk[1] & rot4(mv_or_v, 1))
+            | (tk[2] & rot4(mv_or_v, 2))
+            | (tk[3] & rot4(mv_or_v, 3))
+        )
+        move = base & (enterable | vac | ouro_enter)
 
     # Kicks.
-    bomb_at_dest = jnp.concatenate(
-        [read(btimer, oh_dest[i]) for i in range(4)], axis=1
-    ) > 0
     kick = move & (akick != 0) & bomb_at_dest
     for i in range(4):
         bdir = jnp.where(
-            oh_dest[i] & kick[:, i : i + 1], moves[:, i : i + 1], bdir
+            oh_dest[i] & kick[:, i : i + 1], m[:, i : i + 1], bdir
         )
 
     # Powerups.
@@ -354,254 +367,274 @@ def _step_block(board, hidden, ftimer, btimer, bstr, bdir, bown,
     ast = ast + (take & (dest_item == C_INCRRANGE))
     akick = akick | (take & (dest_item == C_KICK))
 
-    # Board updates: vacate, then place movers.
-    org_bomb = jnp.concatenate(
-        [read(btimer, oh_org[i]) for i in range(4)], axis=1
-    ) > 0
+    # Board updates: vacate (origin restored to BOMB iff a bomb is under
+    # it), then place movers.
     vacate = move | victim
-    vac_val = jnp.where(org_bomb, C_BOMB, C_PASSAGE)
+    vmask = jnp.zeros((block, LANES), jnp.bool_)
     for i in range(4):
-        board = jnp.where(
-            oh_org[i] & vacate[:, i : i + 1], vac_val[:, i : i + 1], board
-        )
+        vmask = vmask | (oh_org[i] & vacate[:, i : i + 1])
+    board = jnp.where(vmask, jnp.where(bomb_b != 0, C_BOMB, C_PASSAGE), board)
     for i in range(4):
         board = jnp.where(oh_dest[i] & move[:, i : i + 1], C_AGENT0 + i, board)
 
     adead = jnp.where(victim, 1, adead)
-    ax = jnp.where(move, dx, ax)
-    ay = jnp.where(move, dy, ay)
+    ac = jnp.where(move, ac + off, ac)
+    ax = ac % BOARD_SIZE
+    ay = ac // BOARD_SIZE
 
     # Plants.
-    plant = alive & (moves == M_BOMB) & (abc < amb) & ~org_bomb
+    plant = alive & (m == M_BOMB) & (abc < amb) & ~org_bomb
+    pmask = jnp.zeros((block, LANES), jnp.bool_)
+    strp = jnp.zeros((block, LANES), I32)
+    ownp = jnp.zeros((block, LANES), I32)
     for i in range(4):
         sel = oh_org[i] & plant[:, i : i + 1]
-        btimer = jnp.where(sel, BOMB_LIFETIME + 1, btimer)
-        bstr = jnp.where(sel, ast[:, i : i + 1], bstr)
-        bown = jnp.where(sel, i, bown)
-        bdir = jnp.where(sel, 0, bdir)
+        pmask = pmask | sel
+        strp = strp + sel * ast[:, i : i + 1]
+        ownp = ownp + sel * i
+    btimer = jnp.where(pmask, BOMB_LIFETIME + 1, btimer)
+    bstr = jnp.where(pmask, strp, bstr)
+    bown = jnp.where(pmask, ownp, bown)
+    bdir = jnp.where(pmask, 0, bdir)
     abc = abc + plant
 
     # ---- Phase 2: bomb kinematics -----------------------------------------
+    # Round-2 op diet: the four bomb planes travel as ONE packed plane
+    # (timer bits [0,4), strength [4,10), dir [10,13), owner [13,15)) so
+    # sliding advances one plane instead of four; per-agent position reads
+    # are single packed lane-reductions; the reversion chain walks with
+    # 4-lane rotations under a while_loop (typical chains: 1-2 rounds).
     if "bomb" in _SKIP:
         return (board, hidden, ftimer, btimer, bstr, bdir, bown,
                 ax, ay, abc, amb, ast, akick, adead)
+    bp0 = btimer + (bstr << 4) + (bdir << 10) + (bown << 13)
     dir0 = bdir
-    directional_move = (moves >= 1) & (moves <= 4)
+    directional_move = (m >= 1) & (m <= 4)
+    alive2 = adead == 0
 
-    def read_pos(plane, ax_, ay_):
-        """plane value at each agent's cell (given positions) -> [block, 4]."""
-        cells = ax_ + BOARD_SIZE * ay_
-        cols = []
+    def bp_timer(bp):
+        return bp & 15
+
+    def bp_dir(bp):
+        return (bp >> 10) & 7
+
+    def read_bits(bit_plane, cells):
+        """bit_plane in {0,1}; value at each agent cell -> bool [block, 4].
+
+        One packed lane-reduction instead of four one-hot max-reads."""
+        wpos = jnp.zeros((block, LANES), I32)
         for i in range(4):
-            oh = _onehot_cell(cells[:, i : i + 1], block)
-            cols.append(jnp.max(jnp.where(oh, plane, 0), axis=1, keepdims=True))
-        return jnp.concatenate(cols, axis=1)
+            wpos = wpos + ((lane == cells[:, i : i + 1]).astype(I32) << i)
+        r = jnp.sum(bit_plane * wpos, axis=1, keepdims=True)
+        return (r >> lane4) & 1 != 0
 
-    def revert_chain(board, ax, ay, bdir, trigger):
-        done = jnp.zeros((block, 4), jnp.bool_)
-        cur = trigger
-        for _ in range(AGENT_COUNT + 2):
-            ox = ax - mdx
-            oy = ay - mdy
-            oinb = (ox >= 0) & (oy >= 0) & (ox < BOARD_SIZE) & (oy < BOARD_SIZE)
-            act = cur & oinb
-            done = done | act
-            oc = jnp.clip(ox, 0, 10) + BOARD_SIZE * jnp.clip(oy, 0, 10)
+    def revert_chain(board, ac_, bp, trigger):
+        """Bounce reverting agents back to their origins, cascading into
+        occupants and kicked bombs (step_utility.cpp:62-128 semantics as
+        re-derived in round 1; control flow is now a while_loop over the
+        <= 6 cascade rounds, active rounds only)."""
 
-            occ = jnp.full((block, 4), -1, I32)
-            for i in range(4):
-                o = jnp.full((block,), -1, I32)
-                for j in range(3, -1, -1):
-                    if j == i:
-                        continue
-                    here = (
-                        (adead[:, j] == 0)
-                        & (ax[:, j] == ox[:, i])
-                        & (ay[:, j] == oy[:, i])
-                    )
-                    o = jnp.where(here, j, o)
-                occ = _setcol(occ, i, o)
+        def cond(carry):
+            board, ac_, bp, cur, done, k = carry
+            return jnp.any(cur != 0) & (k < AGENT_COUNT + 2)
 
-            no_occ = act & (occ < 0)
+        def body(carry):
+            board, ac_, bp, cur, done, k = carry
+            curb = cur != 0
+            acx_ = ac_ % BOARD_SIZE
+            oinb = jnp.where(
+                m == 1, ac_ < NUM_CELLS - BOARD_SIZE,
+                jnp.where(
+                    m == 2, ac_ >= BOARD_SIZE,
+                    jnp.where(
+                        m == 3, acx_ < BOARD_SIZE - 1,
+                        jnp.where(m == 4, acx_ > 0, True),
+                    ),
+                ),
+            )
+            act = curb & oinb
+            done = done | act.astype(I32)
+            oc = ac_ - off
+
+            # Occupant of my origin cell (at most one live agent per cell).
+            occk = [None] + [
+                (rot4(ac_, k2) == oc) & rot4(alive2, k2) for k2 in (1, 2, 3)
+            ]
+            has_occ = occk[1] | occk[2] | occk[3]
+            no_occ = act & ~has_occ
+            oh_oc = [lane == oc[:, i : i + 1] for i in range(4)]
             wanted = jnp.zeros((block, LANES), jnp.bool_)
             for i in range(4):
-                wanted = wanted | (
-                    _onehot_cell(oc[:, i : i + 1], block)
-                    & no_occ[:, i : i + 1]
-                )
+                wanted = wanted | (oh_oc[i] & no_occ[:, i : i + 1])
             dest_wanted = _dest_val(wanted, dir0, False)
-            bomb_to_oc = (btimer > 0) & dest_wanted
-            moving_bomb = bomb_to_oc & (bdir != 0)
-            bdir = jnp.where(moving_bomb, 0, bdir)
-            board = jnp.where(moving_bomb & ~_is_agent(board), C_BOMB, board)
+            moving_bomb = (
+                (bp_timer(bp) > 0) & dest_wanted & (bp_dir(bp) != 0)
+            )
+            bp = jnp.where(moving_bomb, bp & ~(7 << 10), bp)
+            board = jnp.where(
+                moving_bomb & ~_is_agent(board), C_BOMB, board
+            )
 
             for i in range(4):
                 board = jnp.where(
-                    _onehot_cell(oc[:, i : i + 1], block) & act[:, i : i + 1],
-                    C_AGENT0 + i,
-                    board,
+                    oh_oc[i] & act[:, i : i + 1], C_AGENT0 + i, board
                 )
-            ax = jnp.where(act, ox, ax)
-            ay = jnp.where(act, oy, ay)
+            ac_ = jnp.where(act, oc, ac_)
 
             nxt = jnp.zeros((block, 4), jnp.bool_)
-            for j in range(4):
-                n = jnp.zeros((block,), jnp.bool_)
-                for i in range(4):
-                    n = n | (act[:, i] & (occ[:, i] == j))
-                nxt = _setcol(nxt, j, n)
-            cells = ax + BOARD_SIZE * ay
-            on_stopped = jnp.zeros((block, 4), jnp.bool_)
-            for j in range(4):
-                oh = _onehot_cell(cells[:, j : j + 1], block)
-                on_stopped = _setcol(
-                    on_stopped,
-                    j,
-                    jnp.any(oh & moving_bomb, axis=1) & (adead[:, j] == 0),
-                )
-            cur = (nxt | on_stopped) & ~done
-        return board, ax, ay, bdir
+            for k2 in (1, 2, 3):
+                nxt = nxt | rot4(act & occk[k2], 4 - k2)
+            on_stopped = (
+                read_bits(moving_bomb.astype(I32), ac_) & alive2
+            )
+            cur = ((nxt | on_stopped) & (done == 0)).astype(I32)
+            return board, ac_, bp, cur, done, k + 1
 
-    def restore_bomb_items(board, ax, ay):
+        zero4 = jnp.zeros((block, 4), I32)
+        board, ac_, bp, _, _, _ = jax.lax.while_loop(
+            cond, body,
+            (board, ac_, bp, trigger, zero4, jnp.zeros((), I32)),
+        )
+        return board, ac_, bp
+
+    def restore_bomb_items(board, ac_, bp):
         occupied = jnp.zeros((block, LANES), jnp.bool_)
-        cells = ax + BOARD_SIZE * ay
         for i in range(4):
             occupied = occupied | (
-                _onehot_cell(cells[:, i : i + 1], block)
-                & (adead[:, i : i + 1] == 0)
+                (lane == ac_[:, i : i + 1]) & alive2[:, i : i + 1]
             )
-        show = (btimer > 0) & ~occupied & _is_agent(board)
+        show = (bp_timer(bp) > 0) & ~occupied & _is_agent(board)
         return jnp.where(show, C_BOMB, board)
 
     def blocked_revert(carry):
-        board, ax, ay, bdir, trigger = carry
-        board, ax, ay, bdir = revert_chain(board, ax, ay, bdir, trigger != 0)
-        board = restore_bomb_items(board, ax, ay)
-        return board, ax, ay, bdir, trigger
+        board, ac_, bp, trigger = carry
+        board, ac_, bp = revert_chain(board, ac_, bp, trigger)
+        board = restore_bomb_items(board, ac_, bp)
+        return board, ac_, bp, trigger
+
+    old_ac = old_ax + BOARD_SIZE * old_ay
 
     def full_bomb_phase(carry):
         """Some bomb is sliding: block round(s) + move pass.  The second
         block round exists only because a round-1 reversion can land an
         agent on another bomb's target -- so it runs only after a round-1
         reversion actually fired."""
-        board, btimer_c, bstr, bdir, bown, ax, ay = carry
+        board, bp, ac_ = carry
 
-        def block_round(board, ax, ay, bdir):
-            agent_moved = (ax != old_ax) | (ay != old_ay)
-            ditem = _dest_val(board, bdir, C_RIGID)
-            blocked = (btimer_c > 0) & (
-                _dest_oob(bdir) | _static_block(ditem) | _is_agent(ditem)
+        def block_round(board, ac_, bp):
+            agent_moved = ac_ != old_ac
+            bd = bp_dir(bp)
+            ditem = _dest_val(board, bd, C_RIGID)
+            blocked = (bp_timer(bp) > 0) & (
+                _dest_oob(bd) | _static_block(ditem) | _is_agent(ditem)
             )
             trigger = (
-                (adead == 0)
-                & (read_pos(jnp.where(blocked, 1, 0), ax, ay) > 0)
+                alive2
+                & read_bits(blocked.astype(I32), ac_)
                 & directional_move
                 & agent_moved
             ).astype(I32)
-            bdir = jnp.where(blocked, 0, bdir)
+            bp = jnp.where(blocked, bp & ~(7 << 10), bp)
             fired = jnp.any(trigger != 0)
-            board, ax, ay, bdir, _ = jax.lax.cond(
+            board, ac_, bp, _ = jax.lax.cond(
                 fired, blocked_revert, lambda c: c,
-                (board, ax, ay, bdir, trigger),
+                (board, ac_, bp, trigger),
             )
-            return board, ax, ay, bdir, fired
+            return board, ac_, bp, fired
 
-        board, ax, ay, bdir, fired = block_round(board, ax, ay, bdir)
+        board, ac_, bp, fired = block_round(board, ac_, bp)
 
         def round2(carry):
-            board, ax, ay, bdir = carry
-            board, ax, ay, bdir, _ = block_round(board, ax, ay, bdir)
-            return board, ax, ay, bdir
+            board, ac_, bp = carry
+            board, ac_, bp, _ = block_round(board, ac_, bp)
+            return board, ac_, bp
 
-        board, ax, ay, bdir = jax.lax.cond(
-            fired, round2, lambda c: c, (board, ax, ay, bdir)
+        board, ac_, bp = jax.lax.cond(
+            fired, round2, lambda c: c, (board, ac_, bp)
         )
-        return move_pass((board, btimer_c, bstr, bdir, bown, ax, ay))
+        return move_pass((board, bp, ac_))
 
     def idle_bomb_phase(carry):
         """No sliding bombs: the only phase-2 effect is bouncing walkers
         off bombs they stepped on.  A bomb sits under an agent exactly when
-        btimer > 0 at the agent's cell (the board shows the agent), so two
-        position reads replace the whole blocked/target machinery."""
-        board, btimer_c, bstr, bdir, bown, ax, ay = carry
-        agent_moved = (ax != old_ax) | (ay != old_ay)
+        its timer > 0 at the agent's cell (the board shows the agent), so
+        one packed position read replaces the blocked/target machinery."""
+        board, bp, ac_ = carry
+        agent_moved = ac_ != old_ac
         trigger = (
-            (adead == 0)
-            & (read_pos(btimer_c, ax, ay) > 0)
+            alive2
+            & read_bits((bp_timer(bp) > 0).astype(I32), ac_)
             & directional_move
             & agent_moved
         ).astype(I32)
-        board, ax, ay, bdir, _ = jax.lax.cond(
+        board, ac_, bp, _ = jax.lax.cond(
             jnp.any(trigger != 0), blocked_revert, lambda c: c,
-            (board, ax, ay, bdir, trigger),
+            (board, ac_, bp, trigger),
         )
-        return (board, btimer_c, bstr, bdir, bown, ax, ay,
-                jnp.zeros((block, LANES), I32))
+        return board, bp, ac_, jnp.zeros((block, LANES), I32)
 
     # Move pass: a pure no-op unless some bomb is sliding (idle bombs can
     # never collide with each other or enter flames).
     def move_pass(carry):
-        board, btimer, bstr, bdir, bown, ax, ay = carry
-        has_bomb = btimer > 0
-        moving = has_bomb & (bdir != 0)
-        ditem = _dest_val(board, bdir, C_RIGID)
-        can_enter = ~_dest_oob(bdir) & ~_static_block(ditem)
+        board, bp, ac_ = carry
+        has_bomb = bp_timer(bp) > 0
+        bd = bp_dir(bp)
+        moving = has_bomb & (bd != 0)
+        ditem = _dest_val(board, bd, C_RIGID)
+        can_enter = ~_dest_oob(bd) & ~_static_block(ditem)
 
         arrivals = jnp.where(has_bomb & ~moving, 1, 0)
         for d in (1, 2, 3, 4):
             arrivals = arrivals + jnp.where(
-                _push(moving & (bdir == d), d, False), 1, 0
+                _push(moving & (bd == d), d, False), 1, 0
             )
-        dest_count = _dest_val(arrivals, jnp.where(moving, bdir, 0), 0)
+        dest_count = _dest_val(arrivals, jnp.where(moving, bd, 0), 0)
         collide = has_bomb & (dest_count >= 2)
         stopped_kick = collide & moving
-        bdir = jnp.where(collide | (moving & ~can_enter), 0, bdir)
+        bp = jnp.where(collide | (moving & ~can_enter), bp & ~(7 << 10), bp)
 
         trigger = (
-            (adead == 0)
-            & (read_pos(jnp.where(stopped_kick, 1, 0), ax, ay) > 0)
+            alive2
+            & read_bits(stopped_kick.astype(I32), ac_)
             & directional_move
         ).astype(I32)
-        board, ax, ay, bdir, _ = jax.lax.cond(
+        board, ac_, bp, _ = jax.lax.cond(
             jnp.any(trigger != 0), blocked_revert, lambda c: c,
-            (board, ax, ay, bdir, trigger),
+            (board, ac_, bp, trigger),
         )
 
-        do_move = (btimer > 0) & (bdir != 0) & can_enter & ~collide
+        bd = bp_dir(bp)
+        do_move = (bp_timer(bp) > 0) & (bd != 0) & can_enter & ~collide
 
-        def advance(plane):
-            stay = jnp.where(do_move, 0, plane)
-            inc = jnp.zeros_like(plane)
-            for d in (1, 2, 3, 4):
-                inc = jnp.maximum(
-                    inc,
-                    _push(jnp.where(do_move & (bdir == d), plane, 0), d, 0),
-                )
-            return jnp.maximum(stay, inc)
-
-        new_btimer = advance(btimer)
-        new_bstr = advance(bstr)
-        new_bdir = advance(bdir)
-        new_bown = advance(bown)
-
-        arrived = jnp.zeros((block, LANES), jnp.bool_)
+        stay = jnp.where(do_move, 0, bp)
+        inc = jnp.zeros_like(bp)
         for d in (1, 2, 3, 4):
-            arrived = arrived | _push(do_move & (bdir == d), d, False)
+            inc = jnp.maximum(
+                inc, _push(jnp.where(do_move & (bd == d), bp, 0), d, 0)
+            )
+        new_bp = jnp.maximum(stay, inc)
+        arrived = inc > 0  # a sliding bomb's packed word is nonzero
 
-        vacated = do_move & (board == C_BOMB) & (new_btimer == 0)
+        vacated = do_move & (board == C_BOMB) & (new_bp == 0)
         board = jnp.where(vacated, C_PASSAGE, board)
         slide = (arrived & (board == C_FLAME)).astype(I32)
         board = jnp.where(
             arrived & ((board == C_PASSAGE) | _is_powerup(board)),
             C_BOMB, board,
         )
-        return (board, new_btimer, new_bstr, new_bdir, new_bown, ax, ay, slide)
+        return board, new_bp, ac_, slide
 
-    (board, btimer, bstr, bdir, bown, ax, ay, slide_i) = jax.lax.cond(
-        jnp.any((btimer > 0) & (bdir != 0)),
+    (board, bp, ac, slide_i) = jax.lax.cond(
+        jnp.any((bp_timer(bp0) > 0) & (bp_dir(bp0) != 0)),
         full_bomb_phase, idle_bomb_phase,
-        (board, btimer, bstr, bdir, bown, ax, ay),
+        (board, bp0, ac),
     )
+    ax = ac % BOARD_SIZE
+    ay = ac // BOARD_SIZE
+    btimer = bp & 15
+    bstr = (bp >> 4) & 63
+    bdir = (bp >> 10) & 7
+    bown = (bp >> 13) & 3
     slide_explode = slide_i != 0
 
     # ---- Phase 3: explosions ----------------------------------------------
@@ -630,13 +663,21 @@ def _step_block(board, hidden, ftimer, btimer, bstr, bdir, bown,
 
         was_wood = burn & (board == C_WOOD)
         kill_cell = burn & _is_agent(board)
-        for i in range(4):
-            hit = jnp.any(kill_cell & (board == C_AGENT0 + i), axis=1)
-            adead = _setcol(adead, i, jnp.where(hit, 1, adead[:, i]))
-            refund = jnp.sum(
-                jnp.where((explode != 0) & (bown == i), 1, 0), axis=1
-            )
-            abc = _setcol(abc, i, abc[:, i] - refund)
+        # Packed reductions: agent-kill bits and per-owner refund counts in
+        # one lane-sum each (an agent occupies at most one cell; an owner
+        # has at most 5 bombs, well inside the 5-bit count fields).
+        lane4_ = jax.lax.broadcasted_iota(I32, (block, 4), 1)
+        killr = jnp.sum(
+            jnp.where(kill_cell, 1 << (board - C_AGENT0), 0),
+            axis=1, keepdims=True,
+        )
+        hit = ((killr >> lane4_) & 1) != 0
+        adead = jnp.where(hit, 1, adead)
+        refr = jnp.sum(
+            jnp.where(explode != 0, 1 << (5 * bown), 0),
+            axis=1, keepdims=True,
+        )
+        abc = abc - ((refr >> (5 * lane4_)) & 31)
 
         next_explode = (burn & (btimer > 0) & (explode == 0)).astype(I32)
 

@@ -1,0 +1,69 @@
+"""Multi-process (multi-host-shaped) distributed validation (VERDICT r1 #5).
+
+Spawns 2 processes x 4 virtual CPU devices, joined via
+``jax.distributed.initialize`` -- the exact program shape of one process per
+TPU host (docs/SCALING.md).  Each runs a boards-sharded PPO train step over
+the same GLOBAL batch; the test asserts both processes produce bit-identical
+replicated parameters and metrics (the gradient psum is the only
+collective).  Maps the reference's threaded scaling mode
+(performance_test.cpp:71-94) per SURVEY.md §2.6 P3.
+"""
+
+import json
+import os
+import socket
+import subprocess
+import sys
+import tempfile
+
+import pytest
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+WORKER = os.path.join(REPO, "tools", "multiprocess_worker.py")
+
+
+def _free_port() -> int:
+    with socket.socket() as s:
+        s.bind(("localhost", 0))
+        return s.getsockname()[1]
+
+
+@pytest.mark.slow
+def test_two_process_sharded_train_step():
+    port = _free_port()
+    outdir = tempfile.mkdtemp()
+    env = dict(os.environ, PYTHONPATH=REPO)
+    env.pop("JAX_PLATFORMS", None)  # worker pins cpu itself
+    procs = [
+        subprocess.Popen(
+            [sys.executable, WORKER, str(pid), "2", str(port), outdir],
+            env=env,
+            stdout=subprocess.PIPE,
+            stderr=subprocess.STDOUT,
+        )
+        for pid in range(2)
+    ]
+    outs = []
+    for p in procs:
+        try:
+            out, _ = p.communicate(timeout=600)
+        except subprocess.TimeoutExpired:
+            for q in procs:
+                q.kill()
+            pytest.fail("multiprocess worker timed out")
+        outs.append(out.decode(errors="replace"))
+    for p, out in zip(procs, outs):
+        assert p.returncode == 0, f"worker failed:\n{out[-3000:]}"
+
+    results = []
+    for pid in range(2):
+        with open(os.path.join(outdir, f"result_{pid}.json")) as f:
+            results.append(json.load(f))
+    r0, r1 = results
+    assert r0["n_global_devices"] == 8
+    assert r1["n_global_devices"] == 8
+    # Replicated state must agree bit-for-bit across processes.
+    assert r0["params_sha256"] == r1["params_sha256"]
+    assert r0["loss"] == r1["loss"]
+    assert r0["reward_mean"] == r1["reward_mean"]
+    assert r0["episodes"] == r1["episodes"]
