@@ -280,12 +280,12 @@ def _step_block(board, hidden, ftimer, btimer, bstr, bdir, bown,
         jnp.where(m == 2, BOARD_SIZE, jnp.where(m == 3, -1, jnp.where(m == 4, 1, 0))),
     )
     acx = ac % BOARD_SIZE
-    inb = jnp.where(
-        m == 1, ac >= BOARD_SIZE,
-        jnp.where(
-            m == 2, ac < NUM_CELLS - BOARD_SIZE,
-            jnp.where(m == 3, acx > 0, jnp.where(m == 4, acx < BOARD_SIZE - 1, True)),
-        ),
+    # and/or chain, NOT a select: Mosaic cannot select narrow bool vectors.
+    inb = (
+        ((m != 1) | (ac >= BOARD_SIZE))
+        & ((m != 2) | (ac < NUM_CELLS - BOARD_SIZE))
+        & ((m != 3) | (acx > 0))
+        & ((m != 4) | (acx < BOARD_SIZE - 1))
     )
     # Comparison-space destination: in-bounds -> real cell; out-of-bounds ->
     # a unique code >= 128 per (origin, move), mirroring the reference's
@@ -442,15 +442,12 @@ def _step_block(board, hidden, ftimer, btimer, bstr, bdir, bown,
             board, ac_, bp, cur, done, k = carry
             curb = cur != 0
             acx_ = ac_ % BOARD_SIZE
-            oinb = jnp.where(
-                m == 1, ac_ < NUM_CELLS - BOARD_SIZE,
-                jnp.where(
-                    m == 2, ac_ >= BOARD_SIZE,
-                    jnp.where(
-                        m == 3, acx_ < BOARD_SIZE - 1,
-                        jnp.where(m == 4, acx_ > 0, True),
-                    ),
-                ),
+            # and/or chain, NOT a select (Mosaic narrow-bool limit).
+            oinb = (
+                ((m != 1) | (ac_ < NUM_CELLS - BOARD_SIZE))
+                & ((m != 2) | (ac_ >= BOARD_SIZE))
+                & ((m != 3) | (acx_ < BOARD_SIZE - 1))
+                & ((m != 4) | (acx_ > 0))
             )
             act = curb & oinb
             done = done | act.astype(I32)

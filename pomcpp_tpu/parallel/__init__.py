@@ -1,4 +1,5 @@
 from .mesh import (  # noqa: F401
+    BOARDS_AXIS,
     boards_mesh,
     shard_env_batch,
     sharded_rollout,

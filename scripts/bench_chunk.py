@@ -1,0 +1,62 @@
+"""Direct pallas-chunk timing: both policies, no fallback, long budget.
+
+Usage: python scripts/bench_chunk.py [harmless random] [--batch N] [--chunk K]
+Prints per-config steps/s (honest host-fetch timing).
+"""
+
+import sys
+import time
+
+import jax
+
+jax.config.update("jax_compilation_cache_dir", "/root/repo/build/jax_cache")
+jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1)
+
+import jax.numpy as jnp  # noqa: E402
+
+from pomcpp_tpu.core.board_gen import random_cell_state  # noqa: E402
+from pomcpp_tpu.engine.pallas_step import pallas_rollout_chunk  # noqa: E402
+
+
+def bench(policy: str, batch: int, chunk: int, rounds: int = 3,
+          per_round: int = 4) -> float:
+    cs = jax.jit(jax.vmap(random_cell_state))(
+        jax.random.split(jax.random.PRNGKey(0), batch)
+    )
+    t0 = time.perf_counter()
+    cs = pallas_rollout_chunk(cs, 7, steps=chunk, policy=policy)
+    float(jnp.sum(cs.alive_count))
+    print(f"  [{policy}] first call (compile+run): "
+          f"{time.perf_counter() - t0:.1f}s", flush=True)
+    best = 0.0
+    for r in range(rounds):
+        t0 = time.perf_counter()
+        for k in range(per_round):
+            cs = pallas_rollout_chunk(
+                cs, 100 + r * per_round + k, steps=chunk, policy=policy
+            )
+        float(jnp.sum(cs.alive_count))
+        dt = time.perf_counter() - t0
+        sps = batch * chunk * per_round / dt
+        print(f"  [{policy}] round {r}: {sps / 1e6:.2f}M steps/s "
+              f"({dt * 1e3:.0f} ms)", flush=True)
+        best = max(best, sps)
+    return best
+
+
+if __name__ == "__main__":
+    args = [a for a in sys.argv[1:] if not a.startswith("--")]
+    batch = 16384
+    chunk = 64
+    for a in sys.argv[1:]:
+        if a.startswith("--batch"):
+            batch = int(a.split("=")[1])
+        if a.startswith("--chunk"):
+            chunk = int(a.split("=")[1])
+    policies = args or ["harmless", "random"]
+    print(f"device: {jax.devices()[0].platform}, batch {batch}, chunk {chunk}")
+    for p in policies:
+        best = bench(p, batch, chunk)
+        print(f"{p}: {best / 1e6:.2f}M steps/s  "
+              f"(vs 5.86M baseline: {best / 5.8633e6:.2f}x)", flush=True)

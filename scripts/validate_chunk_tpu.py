@@ -143,7 +143,12 @@ def phase_replay() -> int:
 
 
 def main() -> int:
-    env = dict(os.environ, PYTHONPATH="/root/repo")
+    # Prepend the repo; PRESERVE the existing PYTHONPATH (/root/.axon_site
+    # carries the sitecustomize that registers the axon TPU plugin).
+    env = dict(
+        os.environ,
+        PYTHONPATH="/root/repo:" + os.environ.get("PYTHONPATH", ""),
+    )
     for phase in ("tpu", "replay"):
         r = subprocess.run(
             [sys.executable, __file__, f"--phase={phase}"], env=env

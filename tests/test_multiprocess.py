@@ -32,7 +32,10 @@ def _free_port() -> int:
 def test_two_process_sharded_train_step():
     port = _free_port()
     outdir = tempfile.mkdtemp()
-    env = dict(os.environ, PYTHONPATH=REPO)
+    env = dict(
+        os.environ,
+        PYTHONPATH=REPO + ":" + os.environ.get("PYTHONPATH", ""),
+    )
     env.pop("JAX_PLATFORMS", None)  # worker pins cpu itself
     procs = [
         subprocess.Popen(
