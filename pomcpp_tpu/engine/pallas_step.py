@@ -757,35 +757,60 @@ def _chunk_kernel(seed_ref, *refs, steps: int, n_moves: int = 6,
     the RandomAgent config (bombs included); ``n_moves=5`` is HarmlessAgent
     (the reference README's published benchmark config, README.md:99).
 
-    Test hooks (static): ``inject`` reads moves from an extra input ref
-    [steps, block, 4] instead of the in-kernel PRNG (no prng_seed -> works
-    in interpret mode); ``record`` writes the moves drawn and the per-step
-    done mask to extra output refs, letting tests replay the exact
-    trajectory through the cellular engine; ``auto_reset=False`` disables
-    board regeneration.
+    Test hooks (static): ``inject`` reads moves (for the simple policy:
+    the per-agent rand draws) from an extra input ref [steps, block, 4]
+    instead of the in-kernel PRNG (no prng_seed -> works in interpret
+    mode); ``record`` writes the moves drawn and the per-step done mask to
+    extra output refs, letting tests replay the exact trajectory through
+    the cellular engine; ``auto_reset=False`` disables board regeneration.
+
+    ``n_moves=-1`` selects the in-kernel SimpleAgent FSM
+    (engine/pallas_fsm.py); it carries 10 extra [block,4] state arrays
+    (ring slots x4, ring head, ring count, moveQueue slots x4) as
+    additional in/out refs right after the 14 game-state refs.
     """
-    n_in = 14 + (1 if inject else 0)
+    simple = n_moves < 0
+    n_fsm = 10 if simple else 0
+    n_in = 14 + n_fsm + (1 if inject else 0)
     in_refs, out_refs = refs[:n_in], refs[n_in:]
-    state_in = in_refs[:14]
-    moves_in = in_refs[14] if inject else None
-    state_out = out_refs[:14]
-    rec_refs = out_refs[14:] if record else ()
+    state_in = in_refs[:14 + n_fsm]
+    moves_in = in_refs[14 + n_fsm] if inject else None
+    state_out = out_refs[:14 + n_fsm]
+    rec_refs = out_refs[14 + n_fsm:] if record else ()
     block = state_in[0].shape[0]
     if not inject:
         pltpu.prng_seed(seed_ref[0], pl.program_id(0))
 
     def body(i, carry):
         if inject:
-            moves = moves_in[pl.dslice(i, 1), :, :][0]
+            drawn = moves_in[pl.dslice(i, 1), :, :][0]
         else:
             bits = pltpu.prng_random_bits((block, LANES))
             pos = (pltpu.bitcast(bits, jnp.int32) >> 1) & 0x3FFFFFFF
-            moves = pos[:, :4] % n_moves
-        carry = _step_block(*carry, moves)
+            drawn = pos[:, :4] % (5 if simple else n_moves)
+        game = carry[:14]
+        if simple:
+            from .pallas_fsm import fsm_block
+
+            (board, hidden, ftimer, btimer, bstr, bdir, bown,
+             ax, ay, abc, amb, ast, akick, adead) = game
+            fsm = carry[14:]
+            moves, rp2, rph2, rpc2, mq2 = fsm_block(
+                board, btimer, bstr, ax + BOARD_SIZE * ay, abc, amb,
+                adead, drawn,
+                list(fsm[0:4]), fsm[4], fsm[5], list(fsm[6:10]),
+            )
+            moves = jnp.where(adead != 0, 0, moves)
+            fsm_new = tuple(rp2) + (rph2, rpc2) + tuple(mq2)
+        else:
+            moves = drawn
+            fsm_new = ()
+        game = _step_block(*game, moves)
+        carry = tuple(game) + fsm_new
 
         # Auto-reset finished boards (<= 1 agent alive); board regeneration
         # is skipped entirely when no board in the block finished.
-        adead = carry[13]
+        adead = game[13]
         alive = 4 - jnp.sum(adead, axis=1, keepdims=True)
         done = alive <= 1  # [block, 1]
 
@@ -798,6 +823,10 @@ def _chunk_kernel(seed_ref, *refs, steps: int, n_moves: int = 6,
 
         def do_reset(carry):
             fresh = _fresh_boards(block)
+            if simple:
+                fresh = fresh + tuple(
+                    jnp.zeros((block, 4), I32) for _ in range(10)
+                )
             return tuple(
                 jnp.where(done, f, c) for f, c in zip(fresh, carry)
             )
@@ -821,7 +850,8 @@ def pallas_rollout_chunk(cs: CellState, seed, steps: int = 64,
                          policy: str = "random",
                          moves=None,
                          record: bool = False,
-                         auto_reset: bool = True):
+                         auto_reset: bool = True,
+                         fsm_state=None):
     """Run ``steps`` random-policy auto-reset env steps in ONE kernel call.
 
     The throughput path for scripted/random self-play: per chunk the plane
@@ -836,6 +866,12 @@ def pallas_rollout_chunk(cs: CellState, seed, steps: int = 64,
     done[steps, B])`` so tests can replay the exact trajectory through the
     cellular engine; ``auto_reset=False`` disables board regeneration.
     Returns ``CellState`` (or ``(CellState, moves, done)`` when recording).
+
+    ``policy="simple"`` runs the in-kernel SimpleAgent FSM
+    (engine/pallas_fsm.py): pass ``fsm_state`` (a 10-tuple of i32[B,4]
+    arrays, e.g. ``simple_fsm_state_init(b)``; ``moves`` then injects the
+    per-agent rand stream) and the result gains a trailing fsm_state
+    output: ``(CellState, fsm_state')`` (+ record outputs in between).
     """
     b = cs.board.shape[0]
     assert b % CHUNK_BLOCK == 0 or b < CHUNK_BLOCK, (
@@ -874,15 +910,22 @@ def pallas_rollout_chunk(cs: CellState, seed, steps: int = 64,
     done_spec = pl.BlockSpec(
         (steps, block, 1), lambda i, s: (0, i, 0), memory_space=pltpu.VMEM
     )
-    in_specs = [plane_spec] * 7 + [agent_spec] * 7
+    simple = policy == "simple"
+    n_fsm = 10 if simple else 0
+    if simple:
+        assert fsm_state is not None and len(fsm_state) == 10, (
+            "policy='simple' needs fsm_state (see simple_fsm_state_init)"
+        )
+    in_specs = [plane_spec] * 7 + [agent_spec] * (7 + n_fsm)
+    fsm_in = tuple(jnp.asarray(f, I32) for f in (fsm_state or ()))
     extra_in = ()
     if inject:
         in_specs.append(mv_spec)
         extra_in = (jnp.asarray(moves, I32),)
-    out_specs = [plane_spec] * 7 + [agent_spec] * 7
+    out_specs = [plane_spec] * 7 + [agent_spec] * (7 + n_fsm)
     out_shape = (
         [jax.ShapeDtypeStruct((b, LANES), I32)] * 7
-        + [jax.ShapeDtypeStruct((b, 4), I32)] * 7
+        + [jax.ShapeDtypeStruct((b, 4), I32)] * (7 + n_fsm)
     )
     if record:
         out_specs += [mv_spec, done_spec]
@@ -896,7 +939,7 @@ def pallas_rollout_chunk(cs: CellState, seed, steps: int = 64,
         in_specs=in_specs,
         out_specs=out_specs,
     )
-    n_moves = {"random": 6, "harmless": 5}[policy]
+    n_moves = {"random": 6, "harmless": 5, "simple": -1}[policy]
     outs = pl.pallas_call(
         functools.partial(
             _chunk_kernel, steps=steps, n_moves=n_moves,
@@ -910,7 +953,7 @@ def pallas_rollout_chunk(cs: CellState, seed, steps: int = 64,
             vmem_limit_bytes=100 * 1024 * 1024,
         ),
         interpret=interpret,
-    )(seed_arr, *planes, *agents, *extra_in)
+    )(seed_arr, *planes, *agents, *fsm_in, *extra_in)
 
     (board, hidden, ftimer, btimer, bstr, bdir, bown,
      ax, ay, abc, amb, ast, akick, adead) = outs[:14]
@@ -934,9 +977,24 @@ def pallas_rollout_chunk(cs: CellState, seed, steps: int = 64,
         alive_count=(AGENT_COUNT - jnp.sum(dead, axis=1)).astype(I32),
         timestep=cs.timestep + steps,
     )
+    n_state = 14 + n_fsm
+    fsm_out = tuple(outs[14:n_state])
+    rec = (
+        (outs[n_state], outs[n_state + 1][..., 0] != 0) if record else ()
+    )
+    if simple:
+        return (result,) + rec + (fsm_out,)
     if record:
-        return result, outs[14], outs[15][..., 0] != 0
+        return (result,) + rec
     return result
+
+
+def simple_fsm_state_init(b: int):
+    """Fresh SimpleAgent FSM state for ``pallas_rollout_chunk(policy=
+    'simple')``: 10 zero i32[b,4] arrays (ring slots x4, ring head, ring
+    count, moveQueue slots x4) -- zeros match simple_agent_init (counts 0
+    gate all stale-slot reads)."""
+    return tuple(jnp.zeros((b, 4), I32) for _ in range(10))
 
 
 def _kernel(board_ref, hidden_ref, ftimer_ref, btimer_ref, bstr_ref,

@@ -1,0 +1,71 @@
+"""In-kernel SimpleAgent FSM vs the cellular-toolkit FSM (interpret mode).
+
+The chunk kernel's policy="simple" path (engine/pallas_fsm.py) must produce
+the exact move stream of agents/simple_cellular.simple_agent_cell_act when
+driven by the same rand draws -- SWAR BFS tie-breaks, ring/moveQueue
+persistence quirks and all.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from pomcpp_tpu.agents.simple import simple_agent_init
+from pomcpp_tpu.agents.simple_cellular import simple_agent_cell_act
+from pomcpp_tpu.core.board_gen import random_cell_state
+from pomcpp_tpu.engine.cellular import CellState, cellular_step
+from pomcpp_tpu.engine.pallas_step import (
+    pallas_rollout_chunk,
+    simple_fsm_state_init,
+)
+from pomcpp_tpu.strategy.cellular_toolkit import danger_map_cell
+
+
+def _joint_with_rands(cs, asts, rands):
+    """simple_agent_cell_joint but with an injected rand vector."""
+    dmap = danger_map_cell(cs)
+    ids = jnp.arange(4, dtype=jnp.int32)
+    moves, _, asts2 = jax.vmap(
+        lambda aid, ast, rand: simple_agent_cell_act(cs, aid, ast, rand, dmap)
+    )(ids, asts, rands)
+    return moves, asts2
+
+
+@pytest.mark.parametrize("seed", [0, 3])
+def test_fsm_kernel_matches_cellular_fsm(seed):
+    steps, b = 12, 4
+    keys = jax.random.split(jax.random.PRNGKey(seed), b)
+    csb = jax.vmap(random_cell_state)(keys)
+    rng = np.random.RandomState(seed + 100)
+    rands = jnp.asarray(rng.randint(0, 5, size=(steps, b, 4)), jnp.int32)
+
+    got, mrec, drec, _ = pallas_rollout_chunk(
+        csb, 0, steps=steps, interpret=True, policy="simple",
+        moves=rands, record=True, auto_reset=False,
+        fsm_state=simple_fsm_state_init(b),
+    )
+    mrec = np.asarray(mrec)
+
+    # Replay through the XLA cellular FSM with the same rand stream.
+    joint_v = jax.jit(jax.vmap(_joint_with_rands))
+    step_v = jax.jit(jax.vmap(cellular_step))
+    ast0 = jax.tree.map(
+        lambda x: jnp.broadcast_to(x, (b, 4) + x.shape), simple_agent_init()
+    )
+    cs, asts = csb, ast0
+    for t in range(steps):
+        mv, asts = joint_v(cs, asts, rands[t])
+        mv = jnp.where(cs.agent_dead, 0, mv).astype(jnp.int32)
+        assert np.array_equal(np.asarray(mv), mrec[t]), (
+            f"step {t}: FSM moves diverge:\n kernel {mrec[t]}\n "
+            f"cellular {np.asarray(mv)}"
+        )
+        cs = step_v(cs, mv)
+
+    for name in CellState._fields:
+        if name == "timestep":
+            continue
+        a = np.asarray(getattr(got, name))
+        bb = np.asarray(getattr(cs, name))
+        assert np.array_equal(a, bb), f"final state field {name} differs"
