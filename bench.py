@@ -61,12 +61,24 @@ def _bench_pallas(policy: str = "harmless") -> float:
     import jax.numpy as jnp
 
     from pomcpp_tpu.core.board_gen import random_cell_state
-    from pomcpp_tpu.engine.pallas_step import pallas_rollout_chunk
+    from pomcpp_tpu.engine.pallas_step import (
+        pallas_rollout_chunk,
+        simple_fsm_state_init,
+    )
 
     cs = jax.jit(jax.vmap(random_cell_state))(
         jax.random.split(jax.random.PRNGKey(0), BATCH)
     )
-    cs = pallas_rollout_chunk(cs, 7, steps=CHUNK, policy=policy)
+    fsm = simple_fsm_state_init(BATCH) if policy == "simple" else None
+
+    def run(cs, fsm, seed):
+        if policy == "simple":
+            return pallas_rollout_chunk(
+                cs, seed, steps=CHUNK, policy=policy, fsm_state=fsm
+            )
+        return pallas_rollout_chunk(cs, seed, steps=CHUNK, policy=policy), fsm
+
+    cs, fsm = run(cs, fsm, 7)
     float(jnp.sum(cs.alive_count))  # host fetch = real barrier
 
     best = 0.0
@@ -74,9 +86,7 @@ def _bench_pallas(policy: str = "harmless") -> float:
     for r in range(ROUNDS):
         t0 = time.perf_counter()
         for k in range(per_round):
-            cs = pallas_rollout_chunk(
-                cs, 100 + r * per_round + k, steps=CHUNK, policy=policy
-            )
+            cs, fsm = run(cs, fsm, 100 + r * per_round + k)
         float(jnp.sum(cs.alive_count))
         dt = time.perf_counter() - t0
         best = max(best, BATCH * CHUNK * per_round / dt)
@@ -134,18 +144,26 @@ def main() -> None:
         best = _bench_xla()
         path = "xla_cellular"
 
-    # Second tracked config: random-with-bombs (plants/kicks/chains active
-    # -- the engine actually playing Bomberman).  Bounded; omitted on
+    # Additional tracked configs: random-with-bombs (plants/kicks/chains
+    # active -- the engine actually playing Bomberman) and SimpleAgent
+    # self-play (the reference's checked-in benchmark policy,
+    # performance_test.cpp:38, via the in-kernel FSM).  Bounded; omitted on
     # timeout rather than failing the headline.
     random_sps = None
+    simple_sps = None
     if path == "pallas_chunk":
-        signal.alarm(480)
-        try:
-            random_sps = _bench_pallas("random")
-            signal.alarm(0)
-        except BaseException:
-            signal.alarm(0)
-            _watchdog()
+        for name in ("random", "simple"):
+            signal.alarm(480)
+            try:
+                sps = _bench_pallas(name)
+                signal.alarm(0)
+                if name == "random":
+                    random_sps = sps
+                else:
+                    simple_sps = sps
+            except BaseException:
+                signal.alarm(0)
+                _watchdog()
 
     out = {
         "metric": "env_steps_per_s_single_chip_harmless_config",
@@ -159,6 +177,11 @@ def main() -> None:
         out["random_with_bombs_steps_per_s"] = round(random_sps, 1)
         out["random_with_bombs_vs_baseline"] = round(
             random_sps / BASELINE_STEPS_PER_S, 3
+        )
+    if simple_sps is not None:
+        out["simple_agent_steps_per_s"] = round(simple_sps, 1)
+        out["simple_agent_vs_baseline"] = round(
+            simple_sps / BASELINE_STEPS_PER_S, 3
         )
     print(json.dumps(out))
 

@@ -21,11 +21,24 @@ from pomcpp_tpu.engine.pallas_step import pallas_rollout_chunk  # noqa: E402
 
 def bench(policy: str, batch: int, chunk: int, rounds: int = 3,
           per_round: int = 4) -> float:
+    from pomcpp_tpu.engine.pallas_step import simple_fsm_state_init
+
     cs = jax.jit(jax.vmap(random_cell_state))(
         jax.random.split(jax.random.PRNGKey(0), batch)
     )
+    fsm = simple_fsm_state_init(batch) if policy == "simple" else None
+
+    def run(cs, fsm, seed):
+        if policy == "simple":
+            cs, fsm = pallas_rollout_chunk(
+                cs, seed, steps=chunk, policy=policy, fsm_state=fsm
+            )
+        else:
+            cs = pallas_rollout_chunk(cs, seed, steps=chunk, policy=policy)
+        return cs, fsm
+
     t0 = time.perf_counter()
-    cs = pallas_rollout_chunk(cs, 7, steps=chunk, policy=policy)
+    cs, fsm = run(cs, fsm, 7)
     float(jnp.sum(cs.alive_count))
     print(f"  [{policy}] first call (compile+run): "
           f"{time.perf_counter() - t0:.1f}s", flush=True)
@@ -33,9 +46,7 @@ def bench(policy: str, batch: int, chunk: int, rounds: int = 3,
     for r in range(rounds):
         t0 = time.perf_counter()
         for k in range(per_round):
-            cs = pallas_rollout_chunk(
-                cs, 100 + r * per_round + k, steps=chunk, policy=policy
-            )
+            cs, fsm = run(cs, fsm, 100 + r * per_round + k)
         float(jnp.sum(cs.alive_count))
         dt = time.perf_counter() - t0
         sps = batch * chunk * per_round / dt
@@ -60,3 +71,4 @@ if __name__ == "__main__":
         best = bench(p, batch, chunk)
         print(f"{p}: {best / 1e6:.2f}M steps/s  "
               f"(vs 5.86M baseline: {best / 5.8633e6:.2f}x)", flush=True)
+# (simple policy support: bench() passes fsm_state when policy == "simple")

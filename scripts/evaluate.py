@@ -33,6 +33,8 @@ def main() -> None:
     p.add_argument("--ckpt", type=str, default="")
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--cpu", action="store_true")
+    p.add_argument("--team", action="store_true",
+                   help="2v2 team mode ({0,2} vs {1,3}); reports team win rates")
     args = p.parse_args()
     if args.cpu:
         jax.config.update("jax_platforms", "cpu")
@@ -114,7 +116,7 @@ def main() -> None:
             moves = jnp.stack(moves)
             moves = jnp.where(e.game.agent_dead, 0, moves).astype(I32)
             p2 = jax.tree.map(lambda *xs: jnp.stack(xs), *new_p)
-            return env_step(e, moves), p2
+            return env_step(e, moves, team_mode=args.team), p2
 
         keys = jax.random.split(key, batch)
         return jax.vmap(one)(es, ps, keys)
@@ -135,6 +137,10 @@ def main() -> None:
             counts["timeout"] += 1
         elif draws[g]:
             counts["draw"] += 1
+        elif args.team:
+            members = [i for i in (0, 1, 2, 3) if i % 2 == winners[g]]
+            label = "+".join(names[i] for i in members)
+            counts[f"team{winners[g]}({label})"] += 1
         else:
             counts[f"agent{winners[g]}({names[winners[g]]})"] += 1
     total = batch
