@@ -778,7 +778,10 @@ def _chunk_kernel(seed_ref, *refs, steps: int, n_moves: int = 6,
     state_out = out_refs[:14 + n_fsm]
     rec_refs = out_refs[14 + n_fsm:] if record else ()
     block = state_in[0].shape[0]
-    if not inject:
+    if not inject or auto_reset:
+        # Auto-reset's board regeneration draws from the PRNG even when
+        # the move stream is injected; interpret mode (which lacks
+        # prng_seed) uses inject + auto_reset=False.
         pltpu.prng_seed(seed_ref[0], pl.program_id(0))
 
     def body(i, carry):

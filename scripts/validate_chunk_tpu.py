@@ -50,7 +50,10 @@ def phase_tpu() -> int:
     import jax.numpy as jnp
     import numpy as np
 
-    from pomcpp_tpu.engine.pallas_step import pallas_rollout_chunk
+    from pomcpp_tpu.engine.pallas_step import (
+        pallas_rollout_chunk,
+        simple_fsm_state_init,
+    )
 
     csb = _make_inputs()
     out, mrec, drec = pallas_rollout_chunk(
@@ -59,6 +62,22 @@ def phase_tpu() -> int:
     save = {f"out_{f}": np.asarray(getattr(out, f)) for f in _cell_fields()}
     save["mrec"] = np.asarray(mrec)
     save["drec"] = np.asarray(drec)
+
+    # SimpleAgent FSM path: inject a known rand stream on the REAL TPU and
+    # record the kernel FSM's moves; the CPU replay re-runs the XLA FSM on
+    # the same rands and must produce the identical move stream.
+    rng = np.random.RandomState(4242)
+    srands = rng.randint(0, 5, size=(STEPS, B, 4)).astype(np.int32)
+    sout, srec, sdrec, _ = pallas_rollout_chunk(
+        csb, 42, steps=STEPS, policy="simple", record=True,
+        moves=jnp.asarray(srands),
+        fsm_state=simple_fsm_state_init(B),
+    )
+    for f in _cell_fields():
+        save[f"sout_{f}"] = np.asarray(getattr(sout, f))
+    save["srands"] = srands
+    save["srec"] = np.asarray(srec)
+    save["sdrec"] = np.asarray(sdrec)
 
     # Reset wiring: boards entering the chunk finished must come out fresh.
     one = _make_inputs()
@@ -123,6 +142,57 @@ def phase_replay() -> int:
         print(f"FAIL: final-state mismatch on never-reset boards: {bad}")
         return 1
     print("PASS: kernel final state == cellular replay on never-reset boards")
+
+    # SimpleAgent FSM path: re-run the XLA toolkit FSM on the recorded
+    # rand draws; states must match on never-reset boards.
+    from pomcpp_tpu.agents.simple import simple_agent_init
+    from pomcpp_tpu.agents.simple_cellular import simple_agent_cell_act
+    from pomcpp_tpu.strategy.cellular_toolkit import danger_map_cell
+
+    def _joint(cs_, asts, rands):
+        dmap = danger_map_cell(cs_)
+        ids = jnp.arange(4, dtype=jnp.int32)
+        mv, _, a2 = jax.vmap(
+            lambda aid, a, rd: simple_agent_cell_act(cs_, aid, a, rd, dmap)
+        )(ids, asts, rands)
+        return mv, a2
+
+    joint_v = jax.jit(jax.vmap(_joint))
+    srands, srec, sdrec = data["srands"], data["srec"], data["sdrec"]
+    cs = _make_inputs()
+    asts = jax.tree.map(
+        lambda x: jnp.broadcast_to(x, (B, 4) + x.shape), simple_agent_init()
+    )
+    valid = np.ones((B,), bool)
+    for t in range(STEPS):
+        mv, asts = joint_v(cs, asts, jnp.asarray(srands[t]))
+        mv = np.asarray(
+            jnp.where(cs.agent_dead, 0, mv).astype(jnp.int32)
+        )
+        mism = valid & (mv != srec[t]).any(axis=1)
+        if mism.any():
+            print(f"FAIL: simple step {t}: FSM move mismatch on boards "
+                  f"{np.nonzero(mism)[0][:8]}")
+            return 1
+        cs = step_v(cs, jnp.asarray(mv))
+        alive = np.asarray(4 - cs.agent_dead.sum(axis=1))
+        mism = valid & ((alive <= 1) != sdrec[t].astype(bool))
+        if mism.any():
+            print(f"FAIL: simple step {t}: done-flag mismatch on "
+                  f"{np.nonzero(mism)[0][:8]}")
+            return 1
+        valid &= ~sdrec[t].astype(bool)
+    print(f"simple: boards never reset: {int(valid.sum())}/{B}")
+    bad = []
+    for name in _cell_fields():
+        a = data[f"sout_{name}"][valid]
+        b = np.asarray(getattr(cs, name))[valid]
+        if not np.array_equal(a, b):
+            bad.append(f"{name} ({int((a != b).sum())} cells)")
+    if bad:
+        print(f"FAIL: simple final-state mismatch: {bad}")
+        return 1
+    print("PASS: in-kernel FSM trajectory == XLA FSM replay on TPU")
 
     board = data["fresh_board"]
     ok = bool((data["fresh_agent_dead"] == 0).all())

@@ -156,3 +156,55 @@ def test_chain_depth_cap_semantics():
         got = pallas_step(got, mv, interpret=True)
     bt = np.asarray(got.bomb_timer)[0]
     assert bt[4] == 0 and bt[5] == 0
+
+
+def test_exhaustive_joint_moves_vs_cellular():
+    """All 6^4 joint moves on a kick-heavy mid-game state: pallas_step must
+    match cellular_step bit-for-bit (one batched interpret call).
+
+    Round-2 re-expressed the whole bomb phase (packed plane, while_loop
+    reversion); this pins the simultaneous-move + kick semantics across the
+    full joint-move space, per SURVEY.md's property-test prescription.
+    """
+    from pomcpp_tpu.core.state import empty_state, plant_bomb, put_agent
+
+    s = empty_state()
+    # Cross of agents around two bombs; kicks enabled -> every joint move
+    # exercises kick/block/reversion combinations.
+    s = put_agent(s, 4, 5, 0)
+    s = put_agent(s, 6, 5, 1)
+    s = put_agent(s, 5, 4, 2)
+    s = put_agent(s, 5, 6, 3)
+    s = s._replace(agent_can_kick=jnp.ones((4,), bool))
+    s = plant_bomb(s, 5, 5, 0, set_item=True, life=6)
+    s = plant_bomb(s, 3, 5, 1, set_item=True, life=9)
+    cs = from_state(s)
+
+    n = 6 ** 4
+    moves = jnp.asarray(
+        np.stack(
+            [[(c // 6 ** i) % 6 for i in range(4)] for c in range(n)]
+        ),
+        jnp.int32,
+    )
+    pad = 1536 - n  # next multiple of BLOCK=256
+    csb = jax.tree.map(
+        lambda x: jnp.broadcast_to(x, (1536,) + x.shape), cs
+    )
+    movesb = jnp.concatenate(
+        [moves, jnp.zeros((pad, 4), jnp.int32)], axis=0
+    )
+
+    ref = jax.jit(jax.vmap(_jcell))(csb, movesb)
+    got = pallas_step(csb, movesb, interpret=True)
+    for name in CellState._fields:
+        if name == "timestep":
+            continue
+        a = np.asarray(getattr(ref, name))[:n]
+        b = np.asarray(getattr(got, name))[:n]
+        if not np.array_equal(a, b):
+            bad = np.nonzero((a != b).reshape(n, -1).any(axis=1))[0]
+            raise AssertionError(
+                f"{name}: {len(bad)} joint moves differ, first "
+                f"{[tuple(np.asarray(movesb[i])) for i in bad[:5]]}"
+            )
