@@ -28,6 +28,7 @@ from ..core.constants import AGENT_COUNT
 from ..core.state import I32
 from ..env.environment import TEAM_OF, EnvState, env_step_auto_reset
 from ..env.observation import observe_ego
+from ..env.observation import DEFAULT_VIEW_RANGE as _VIEW
 from ..models.actor_critic import ActorCritic, obs_to_features
 
 
@@ -93,7 +94,10 @@ def _policy_all_agents(params, game, key):
 
 
 class Transition(NamedTuple):
-    feats: jax.Array    # [4, H, W, C]
+    feats: jax.Array    # [4, H*W*C] -- stored FLAT: a [.., 9, 9, 23] bf16
+                        # array pays a ~10x TPU tile-padding expansion
+                        # (last two dims pad to (16, 128)); flat rows pad
+                        # ~1x.  Reshaped to [H, W, C] inside the model.
     move: jax.Array     # i32[4]
     logp: jax.Array     # f32[4]
     value: jax.Array    # f32[4]
@@ -139,7 +143,7 @@ def collect_rollout(params, es: EnvState, cfg: PPOConfig):
             )
         reward = won.astype(jnp.float32) - died.astype(jnp.float32)
         tr = Transition(
-            feats=feats,
+            feats=feats.reshape(AGENT_COUNT, -1),
             move=moves,
             logp=logp,
             value=value,
@@ -178,7 +182,10 @@ def compute_gae(traj: Transition, boot_value, cfg: PPOConfig):
 
 def _ppo_loss(params, batch, cfg: PPOConfig):
     feats, move, old_logp, adv, ret, alive = batch
-    logits, value = jax.vmap(lambda f: _MODEL.apply(params, f))(feats)
+    w = 2 * _VIEW + 1
+    logits, value = jax.vmap(
+        lambda f: _MODEL.apply(params, f.reshape(w, w, -1))
+    )(feats)
     logp_all = jax.nn.log_softmax(logits)
     logp = jnp.take_along_axis(logp_all, move[:, None], axis=1)[:, 0]
     ratio = jnp.exp(logp - old_logp)
