@@ -91,10 +91,18 @@ def observe_ego(
     x = game.agent_x[agent_id]
     y = game.agent_y[agent_id]
 
+    # Gather-free crop: under vmap a dynamic_slice with traced starts
+    # lowers to per-element gathers, which TPU serializes (measured: the
+    # crop dominated PPO rollouts).  One-hot row/column selection matmuls
+    # batch cleanly instead; f32 accumulation of small ints is exact.
+    pw = BOARD_SIZE + 2 * r
+    rows = jax.nn.one_hot(y + jnp.arange(w), pw, dtype=jnp.float32)
+    cols = jax.nn.one_hot(x + jnp.arange(w), pw, dtype=jnp.float32)
+
     def crop(plane, fill):
         p = plane.reshape(BOARD_SIZE, BOARD_SIZE)
-        p = jnp.pad(p, r, constant_values=fill)
-        out = jax.lax.dynamic_slice(p, (y, x), (w, w))
+        p = jnp.pad(p, r, constant_values=fill).astype(jnp.float32)
+        out = rows @ p @ cols.T
         return out.reshape(w * w).astype(I32)
 
     return Observation(

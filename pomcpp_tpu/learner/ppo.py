@@ -39,7 +39,7 @@ class PPOConfig(NamedTuple):
     clip_eps: float = 0.2
     lr: float = 3e-4
     epochs: int = 2
-    minibatches: int = 4
+    minibatches: int = 2  # large-batch regime: fewer/bigger minibatches
     value_coef: float = 0.5
     entropy_coef: float = 0.01
     max_grad_norm: float = 0.5

@@ -57,15 +57,21 @@ def obs_to_features(obs: Observation, view_range: int = DEFAULT_VIEW_RANGE):
 
 
 class ActorCritic(nn.Module):
-    """Conv torso + policy/value heads.  Input [H, W, C] (vmap for batch)."""
+    """Conv torso + policy/value heads.  Input [H, W, C] (vmap for batch).
+
+    ``layers=2`` (5x5 receptive field over the 9x9 view + the global dense
+    mix) is the TPU-shaped default: a third 3x3 conv adds ~60% torso FLOPs
+    for marginal capacity at this board size.
+    """
 
     hidden: int = 128
     channels: int = 64
+    layers: int = 2
 
     @nn.compact
     def __call__(self, features):
         x = features
-        for _ in range(3):
+        for _ in range(self.layers):
             x = nn.Conv(self.channels, (3, 3), dtype=jnp.bfloat16)(x)
             x = nn.relu(x)
         x = x.reshape(-1)

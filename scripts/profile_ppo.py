@@ -1,0 +1,88 @@
+"""Attribute PPO iteration time: rollout vs GAE vs update.
+
+Usage: python scripts/profile_ppo.py [--batch 2048] [--rollout 32]
+"""
+
+import sys
+import time
+
+import jax
+
+jax.config.update("jax_compilation_cache_dir", "/root/repo/build/jax_cache")
+jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1)
+
+import jax.numpy as jnp  # noqa: E402
+
+
+def main():
+    batch = 2048
+    rollout = 32
+    for a in sys.argv[1:]:
+        if a.startswith("--batch"):
+            batch = int(a.split("=")[1])
+        if a.startswith("--rollout"):
+            rollout = int(a.split("=")[1])
+
+    from pomcpp_tpu.env import env_reset
+    from pomcpp_tpu.learner import PPOConfig, ppo_init
+    from pomcpp_tpu.learner.ppo import (
+        collect_rollout,
+        compute_gae,
+        ppo_update,
+    )
+
+    cfg = PPOConfig(rollout_len=rollout)
+    ts = ppo_init(jax.random.PRNGKey(0), cfg)
+    es = jax.vmap(lambda k: env_reset(k, engine="cellular"))(
+        jax.random.split(jax.random.PRNGKey(1), batch)
+    )
+
+    roll = jax.jit(
+        lambda params, es: jax.vmap(
+            lambda e: collect_rollout(params, e, cfg)
+        )(es)
+    )
+    gae = jax.jit(
+        lambda traj, boot: jax.vmap(lambda t, b: compute_gae(t, b, cfg))(
+            traj, boot
+        )
+    )
+
+    def flatten(traj, adv, ret):
+        def flat(x):
+            return x.reshape((-1,) + x.shape[3:])
+
+        return (
+            flat(traj.feats), flat(traj.move), flat(traj.logp),
+            flat(adv), flat(ret), flat(traj.alive & traj.valid[:, :, None]),
+        )
+
+    upd = jax.jit(lambda ts, fb: ppo_update(ts, fb, cfg))
+
+    def t(name, fn, *args):
+        out = fn(*args)
+        jax.block_until_ready(out)
+        times = []
+        for _ in range(3):
+            t0 = time.perf_counter()
+            out = fn(*args)
+            jax.block_until_ready(out)
+            # honest barrier: fetch a leaf scalar
+            leaf = jax.tree.leaves(out)[0]
+            float(jnp.asarray(leaf).reshape(-1)[0])
+            times.append(time.perf_counter() - t0)
+        print(f"{name}: {min(times) * 1e3:.0f} ms", flush=True)
+        return out
+
+    es2, traj, boot = t("rollout", roll, ts.params, es)
+    adv, ret = t("gae", gae, traj, boot)
+    fb = jax.jit(flatten)(traj, adv, ret)
+    jax.block_until_ready(fb)
+    t("update", upd, ts, fb)
+    n = batch * rollout
+    print(f"(batch {batch} x rollout {rollout} = {n} env-steps/iter)")
+
+
+if __name__ == "__main__":
+    main()
