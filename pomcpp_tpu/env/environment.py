@@ -143,6 +143,43 @@ def env_step_auto_reset(es: EnvState, moves, team_mode: bool = False) -> EnvStat
     return jax.tree.map(lambda f, s: jnp.where(es.done, f, s), fresh, stepped)
 
 
+def env_step_auto_reset_batch(
+    es: EnvState, moves, team_mode: bool = False, fused: bool = False
+) -> EnvState:
+    """Batched ``env_step_auto_reset`` over a leading boards axis.
+
+    Semantically identical to ``jax.vmap(env_step_auto_reset)``; the win is
+    ``fused=True``, which steps the whole batch through the fused Pallas
+    kernel (engine/pallas_step.py) in ONE launch instead of ~600 small XLA
+    ops per step -- the launch-bound regime that caps vmapped PPO rollouts
+    (batch must divide into 256-board blocks).  CellState only.
+    """
+    if fused:
+        from ..engine.pallas_step import pallas_step
+
+        game = pallas_step(es.game, moves)
+        game = game._replace(timestep=game.timestep + 1)
+        nxt = jax.vmap(
+            lambda e: _detect_terminal(e, team_mode)
+        )(es._replace(game=game))
+        stepped = jax.tree.map(
+            lambda a, b: jnp.where(
+                es.done.reshape((-1,) + (1,) * (a.ndim - 1)), a, b
+            ),
+            es, nxt,
+        )
+        fresh = jax.vmap(lambda k: _fresh(k, "cellular"))(es.key)
+        return jax.tree.map(
+            lambda f, s: jnp.where(
+                es.done.reshape((-1,) + (1,) * (f.ndim - 1)), f, s
+            ),
+            fresh, stepped,
+        )
+    return jax.vmap(
+        lambda e, m: env_step_auto_reset(e, m, team_mode)
+    )(es, moves)
+
+
 def act_all(policy: Policy, key: jax.Array, game: State) -> jax.Array:
     """Evaluate one policy for all four agents -> i32[4] moves.
 

@@ -44,6 +44,9 @@ class PPOConfig(NamedTuple):
     entropy_coef: float = 0.01
     max_grad_norm: float = 0.5
     team_mode: bool = False  # 2v2 ({0,2} vs {1,3}); shared team rewards
+    fused_env: bool = False  # step rollouts through the fused Pallas
+                             # kernel (TPU; batch % 256 == 0) instead of
+                             # ~600 launch-bound XLA ops per step
 
 
 class TrainState(NamedTuple):
@@ -161,6 +164,60 @@ def collect_rollout(params, es: EnvState, cfg: PPOConfig):
     return es_final, traj, boot_value
 
 
+def collect_rollout_batch(params, es: EnvState, cfg: PPOConfig):
+    """``collect_rollout`` over the whole boards batch at once.
+
+    Same semantics as ``jax.vmap(collect_rollout)`` (returns [B, T, ...]
+    trajectories); the point is ``cfg.fused_env``: the env step runs as ONE
+    fused Pallas kernel launch per step instead of per-board vmapped XLA
+    ops, which are launch-bound at PPO batch sizes.
+    """
+    from ..env.environment import env_step_auto_reset_batch
+
+    def body(carry, _):
+        es = carry
+        ks = jax.vmap(jax.random.split)(es.key)
+        k_act, k_next = ks[:, 0], ks[:, 1]
+        moves, logp, value, feats = jax.vmap(
+            lambda k, g: _policy_all_agents(params, g, k)
+        )(k_act, es.game)
+        alive_before = ~es.game.agent_dead
+        moves = jnp.where(es.game.agent_dead, 0, moves)
+        es2 = env_step_auto_reset_batch(
+            es._replace(key=k_next), moves,
+            team_mode=cfg.team_mode, fused=cfg.fused_env,
+        )
+        died = alive_before & jnp.where(
+            es.done[:, None], False, es2.game.agent_dead
+        )
+        new_done = (es2.done & ~es.done)[:, None]
+        if cfg.team_mode:
+            team = jnp.asarray(TEAM_OF)[None]
+        else:
+            team = jnp.arange(AGENT_COUNT)[None]
+        won = new_done & (team == es2.winner[:, None]) & alive_before
+        reward = won.astype(jnp.float32) - died.astype(jnp.float32)
+        tr = Transition(
+            feats=feats.reshape(feats.shape[0], AGENT_COUNT, -1),
+            move=moves,
+            logp=logp,
+            value=value,
+            reward=reward,
+            alive=alive_before,
+            done=es2.done & ~es.done,
+            valid=~es.done,
+        )
+        return es2, tr
+
+    es_final, traj = lax.scan(body, es, None, length=cfg.rollout_len)
+    # [T, B, ...] -> [B, T, ...] to match the vmapped collect layout.
+    traj = jax.tree.map(lambda x: jnp.swapaxes(x, 0, 1), traj)
+    _, _, boot_value, _ = jax.vmap(
+        lambda g: _policy_all_agents(params, g, jax.random.PRNGKey(0))
+    )(es_final.game)
+    return es_final, traj, boot_value
+
+
 def compute_gae(traj: Transition, boot_value, cfg: PPOConfig):
     """GAE over the time axis ([T, 4] values/rewards, done masking)."""
 
@@ -265,9 +322,12 @@ def ppo_train_step(ts: TrainState, es_batch: EnvState, cfg: PPOConfig = PPOConfi
     function -- under a boards NamedSharding the only collective XLA inserts
     is the gradient/metric all-reduce.
     """
-    es_final, traj, boot = jax.vmap(
-        lambda e: collect_rollout(ts.params, e, cfg)
-    )(es_batch)
+    if cfg.fused_env:
+        es_final, traj, boot = collect_rollout_batch(ts.params, es_batch, cfg)
+    else:
+        es_final, traj, boot = jax.vmap(
+            lambda e: collect_rollout(ts.params, e, cfg)
+        )(es_batch)
     adv, ret = jax.vmap(lambda t, b: compute_gae(t, b, cfg))(traj, boot)
 
     # Flatten [B, T, 4, ...] -> [B*T*4, ...].

@@ -42,6 +42,9 @@ def main() -> None:
     p.add_argument("--ckpt-every", type=int, default=10)
     p.add_argument("--resume", action="store_true")
     p.add_argument("--team", action="store_true", help="2v2 team mode")
+    p.add_argument("--fused", action="store_true",
+                   help="step rollouts through the fused Pallas kernel "
+                        "(TPU; batch %% 256 == 0)")
     args = p.parse_args()
 
     from pomcpp_tpu.env import env_reset
@@ -49,7 +52,8 @@ def main() -> None:
     from pomcpp_tpu.parallel import boards_mesh, shard_env_batch
     from pomcpp_tpu.utils import restore_checkpoint, save_checkpoint
 
-    cfg = PPOConfig(rollout_len=args.rollout, lr=args.lr, team_mode=args.team)
+    cfg = PPOConfig(rollout_len=args.rollout, lr=args.lr, team_mode=args.team,
+                    fused_env=args.fused)
     ts = ppo_init(jax.random.PRNGKey(args.seed), cfg)
     if args.resume and args.ckpt_dir and os.path.exists(args.ckpt_dir):
         ts = restore_checkpoint(args.ckpt_dir, ts)

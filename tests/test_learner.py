@@ -104,3 +104,31 @@ def test_team_mode_train_step():
     ts2, es2, metrics = step(ts, es)
     assert np.isfinite(float(metrics["loss"]))
     assert int(ts2.update_count) == 1
+
+
+def test_batched_collect_matches_vmapped():
+    """collect_rollout_batch (fused_env plumbing, XLA path) must reproduce
+    jax.vmap(collect_rollout) bit-for-bit -- same key splits, same layout."""
+    import numpy as np
+
+    from pomcpp_tpu.learner.ppo import (
+        collect_rollout,
+        collect_rollout_batch,
+    )
+
+    cfg = _small_cfg()
+    ts = ppo_init(jax.random.PRNGKey(0), cfg)
+    es = jax.vmap(lambda k: env_reset(k, engine="cellular"))(
+        jax.random.split(jax.random.PRNGKey(3), 4)
+    )
+    ref_final, ref_traj, ref_boot = jax.jit(
+        jax.vmap(lambda e: collect_rollout(ts.params, e, cfg))
+    )(es)
+    got_final, got_traj, got_boot = jax.jit(
+        lambda e: collect_rollout_batch(ts.params, e, cfg)
+    )(es)
+    for a, b in zip(jax.tree.leaves(ref_traj), jax.tree.leaves(got_traj)):
+        assert np.array_equal(np.asarray(a), np.asarray(b))
+    for a, b in zip(jax.tree.leaves(ref_final), jax.tree.leaves(got_final)):
+        assert np.array_equal(np.asarray(a), np.asarray(b))
+    assert np.allclose(np.asarray(ref_boot), np.asarray(got_boot))
