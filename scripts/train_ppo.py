@@ -36,6 +36,7 @@ def main() -> None:
     p.add_argument("--batch", type=int, default=256)
     p.add_argument("--iters", type=int, default=50)
     p.add_argument("--rollout", type=int, default=64)
+    p.add_argument("--epochs", type=int, default=2)
     p.add_argument("--lr", type=float, default=3e-4)
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--ckpt-dir", type=str, default="")
@@ -53,7 +54,7 @@ def main() -> None:
     from pomcpp_tpu.utils import restore_checkpoint, save_checkpoint
 
     cfg = PPOConfig(rollout_len=args.rollout, lr=args.lr, team_mode=args.team,
-                    fused_env=args.fused)
+                    fused_env=args.fused, epochs=args.epochs)
     ts = ppo_init(jax.random.PRNGKey(args.seed), cfg)
     if args.resume and args.ckpt_dir and os.path.exists(args.ckpt_dir):
         ts = restore_checkpoint(args.ckpt_dir, ts)
