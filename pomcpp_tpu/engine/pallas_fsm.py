@@ -140,9 +140,8 @@ def swar_bfs(board, ac, valid):
 
     oh_src = [lane == ac[:, i : i + 1] for i in range(4)]
     src_bytes = _mkw_bytes(oh_src)
-    presrc = src_bytes & _WALL4  # 0x7E at each agent's own field/cell
 
-    d0 = _WALL4 - presrc
+    d0 = _WALL4 & ~src_bytes  # walls everywhere, 0 at each src field
     r0 = jnp.zeros((block, LANES), I32)
     ent_h = jnp.where(enterable, _H4, 0)
 
@@ -161,7 +160,13 @@ def swar_bfs(board, ac, valid):
         # planes but compare against the accumulating d -- exactly the
         # toolkit's update rule, so root tie-breaks match bit-for-bit.
         d_in, r_in = d, r
-        masked = jnp.where(walk, d_in, _WALL4) - presrc
+        # Source fields expand regardless of walkability; the override is
+        # a BITWISE blend -- subtracting a per-field constant here borrows
+        # across fields when the src cell is walkable (a dead agent's
+        # stale position: its field holds 0, 0 - 0x7E underflows into the
+        # next agent's byte and propagates fake distances).
+        masked = jnp.where(walk, d_in, _WALL4)
+        masked = (masked & ~src_bytes) | (d_in & src_bytes)
         for mv in _PRIORITY:
             cand = _push(masked, mv, _WALL4) + _ONE4
             cand_r = _push(r_in, mv, 0)

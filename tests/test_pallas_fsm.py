@@ -69,3 +69,48 @@ def test_fsm_kernel_matches_cellular_fsm(seed):
         a = np.asarray(getattr(got, name))
         bb = np.asarray(getattr(cs, name))
         assert np.array_equal(a, bb), f"final state field {name} differs"
+
+
+def test_fsm_kernel_dead_agent_stale_sources():
+    """SWAR-borrow regression: a dead agent's stale BFS source sits on a
+    WALKABLE cell; its distance field holds 0 there and a subtractive
+    source-override borrows into the next agent's byte, propagating fake
+    distances (caught by the on-TPU replay validation).  Kill two agents
+    and demand move-exactness for the survivors."""
+    steps, b = 10, 4
+    keys = jax.random.split(jax.random.PRNGKey(9), b)
+    csb = jax.vmap(random_cell_state)(keys)
+    # Agents 0 and 1 die in place; their cells revert to passage.
+    lane = jnp.arange(121)
+    board = csb.board
+    for i in (0, 1):
+        cell = (csb.agent_x[:, i] + 11 * csb.agent_y[:, i])[:, None]
+        board = jnp.where(lane[None] == cell, 0, board)
+    dead = jnp.zeros((b, 4), bool).at[:, :2].set(True)
+    csb = csb._replace(
+        board=board, agent_dead=dead,
+        alive_count=jnp.full((b,), 2, jnp.int32),
+    )
+    rng = np.random.RandomState(77)
+    rands = jnp.asarray(rng.randint(0, 5, size=(steps, b, 4)), jnp.int32)
+
+    got, mrec, _, _ = pallas_rollout_chunk(
+        csb, 0, steps=steps, interpret=True, policy="simple",
+        moves=rands, record=True, auto_reset=False,
+        fsm_state=simple_fsm_state_init(b),
+    )
+    mrec = np.asarray(mrec)
+
+    joint_v = jax.jit(jax.vmap(_joint_with_rands))
+    step_v = jax.jit(jax.vmap(cellular_step))
+    ast0 = jax.tree.map(
+        lambda x: jnp.broadcast_to(x, (b, 4) + x.shape), simple_agent_init()
+    )
+    cs, asts = csb, ast0
+    for t in range(steps):
+        mv, asts = joint_v(cs, asts, rands[t])
+        mv = jnp.where(cs.agent_dead, 0, mv).astype(jnp.int32)
+        assert np.array_equal(np.asarray(mv), mrec[t]), (
+            f"step {t}: kernel {mrec[t]} vs cellular {np.asarray(mv)}"
+        )
+        cs = step_v(cs, mv)
