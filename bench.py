@@ -18,6 +18,7 @@ from __future__ import annotations
 import json
 import os
 import signal
+import sys
 import time
 
 import jax
@@ -132,14 +133,17 @@ def main() -> None:
     def deadline(signum, frame):
         raise _Deadline()
 
+    t_start = time.perf_counter()
     signal.signal(signal.SIGALRM, deadline)
-    signal.alarm(510)
+    signal.alarm(900)
     try:
         best = _bench_pallas("harmless")
         path = "pallas_chunk"
         signal.alarm(0)
-    except BaseException:
+    except BaseException as e:
         signal.alarm(0)
+        print(f"pallas path failed ({type(e).__name__}: {e}); "
+              "falling back to XLA cellular", file=sys.stderr, flush=True)
         _watchdog()  # re-arm the hang watchdog
         best = _bench_xla()
         path = "xla_cellular"
@@ -153,6 +157,10 @@ def main() -> None:
     simple_sps = None
     if path == "pallas_chunk":
         for name in ("random", "simple"):
+            if time.perf_counter() - t_start > 1100:
+                print(f"skipping {name} config (time budget)",
+                      file=sys.stderr, flush=True)
+                continue
             signal.alarm(480)
             try:
                 sps = _bench_pallas(name)
@@ -161,8 +169,10 @@ def main() -> None:
                     random_sps = sps
                 else:
                     simple_sps = sps
-            except BaseException:
+            except BaseException as e:
                 signal.alarm(0)
+                print(f"{name} config failed ({type(e).__name__}: {e})",
+                      file=sys.stderr, flush=True)
                 _watchdog()
 
     out = {
