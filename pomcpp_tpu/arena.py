@@ -1,0 +1,158 @@
+"""Batched evaluation arena: play line-ups of policies, keep Elo ratings.
+
+The reference's only evaluation is watching rendered games
+(live_testing.cpp); this module is the framework's measurement story:
+``play_games`` runs a 4-slot line-up over a batch of boards fully jitted
+(mixed scripted/learned agents), and ``League`` maintains Elo ratings over
+a roster by sampling line-ups and scoring pairwise outcomes.
+
+Used by scripts/evaluate.py (one line-up) and scripts/league.py
+(round-robin Elo tournament).
+"""
+
+from __future__ import annotations
+
+import itertools
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .agents import harmless_agent, lazy_agent, random_agent
+from .agents.simple_cellular import (
+    simple_agent_cell_policy,
+    simple_agent_init_batch,
+)
+from .core.state import I32
+from .env import env_reset
+from .env.environment import env_step
+
+_STATELESS = {
+    "random": random_agent,
+    "harmless": harmless_agent,
+    "lazy": lazy_agent,
+}
+
+
+class GameResults(NamedTuple):
+    done: np.ndarray     # bool[G]
+    winners: np.ndarray  # i32[G] agent id (or team id in team mode), -1 none
+    draws: np.ndarray    # bool[G]
+    steps: int
+
+
+def play_games(names, games: int, steps: int, ppo_params=None,
+               seed: int = 0, team: bool = False) -> GameResults:
+    """Play ``games`` batched games with the 4-slot line-up ``names``.
+
+    ``names[i]`` is one of random/harmless/lazy/simple/ppo (``ppo`` uses
+    ``ppo_params``).  Jit-compiled per distinct line-up.
+    """
+    assert len(names) == 4
+
+    def act_one(key, game, aid, pstate, name):
+        if name == "simple":
+            return simple_agent_cell_policy(key, game, aid, pstate)
+        if name == "ppo":
+            from .env.observation import observe_ego
+            from .learner.ppo import _MODEL
+            from .models.actor_critic import obs_to_features
+
+            feats = obs_to_features(observe_ego(game, aid))
+            logits, _ = _MODEL.apply(ppo_params, feats)
+            return jax.random.categorical(key, logits).astype(I32), pstate
+        return _STATELESS[name](key, game, aid), pstate
+
+    es = jax.vmap(lambda k: env_reset(k, engine="cellular"))(
+        jax.random.split(jax.random.PRNGKey(seed), games)
+    )
+    ps = jax.tree.map(
+        lambda x: jnp.broadcast_to(x, (games,) + x.shape),
+        simple_agent_init_batch(),
+    )
+
+    @jax.jit
+    def run_step(es, ps, key):
+        def one(e, p, k):
+            keys = jax.random.split(k, 4)
+            moves, new_p = [], []
+            for i in range(4):
+                mv, pi = act_one(
+                    keys[i], e.game, jnp.asarray(i),
+                    jax.tree.map(lambda x: x[i], p), names[i],
+                )
+                moves.append(mv)
+                new_p.append(pi)
+            mv = jnp.where(
+                e.game.agent_dead, 0, jnp.stack(moves)
+            ).astype(I32)
+            p2 = jax.tree.map(lambda *xs: jnp.stack(xs), *new_p)
+            return env_step(e, mv, team_mode=team), p2
+
+        keys = jax.random.split(key, games)
+        return jax.vmap(one)(es, ps, keys)
+
+    key = jax.random.PRNGKey(seed + 1)
+    t = 0
+    for t in range(steps):
+        key, k = jax.random.split(key)
+        es, ps = run_step(es, ps, k)
+        if bool(np.asarray(es.done).all()):
+            break
+    return GameResults(
+        done=np.asarray(es.done),
+        winners=np.asarray(es.winner),
+        draws=np.asarray(es.is_draw),
+        steps=t + 1,
+    )
+
+
+# --- Elo league ---------------------------------------------------------------
+
+
+def elo_expected(ra: float, rb: float) -> float:
+    return 1.0 / (1.0 + 10 ** ((rb - ra) / 400.0))
+
+
+class League:
+    """Elo ratings over a roster of named policies (FFA line-ups).
+
+    Each finished game scores every (winner, loser) pair as a win and every
+    pair among non-winners as a draw; unfinished games are ignored.
+    """
+
+    def __init__(self, roster, k: float = 16.0, initial: float = 1200.0):
+        self.roster = list(roster)
+        self.k = k
+        self.ratings = {n: float(initial) for n in self.roster}
+        self.games_played = {n: 0 for n in self.roster}
+
+    def _update_pair(self, a: str, b: str, score_a: float) -> None:
+        ra, rb = self.ratings[a], self.ratings[b]
+        ea = elo_expected(ra, rb)
+        self.ratings[a] = ra + self.k * (score_a - ea)
+        self.ratings[b] = rb + self.k * ((1.0 - score_a) - (1.0 - ea))
+
+    def record(self, lineup, results: GameResults) -> None:
+        """Fold a batch of games of ``lineup`` (4 roster names) in."""
+        for g in range(len(results.done)):
+            if not results.done[g]:
+                continue
+            win = int(results.winners[g])
+            for i, j in itertools.combinations(range(4), 2):
+                a, b = lineup[i], lineup[j]
+                if a == b:
+                    continue
+                if results.draws[g] or (win != i and win != j):
+                    self._update_pair(a, b, 0.5)
+                else:
+                    self._update_pair(a, b, 1.0 if win == i else 0.0)
+            for n in set(lineup):
+                self.games_played[n] += 1
+
+    def table(self):
+        return sorted(
+            ((n, self.ratings[n], self.games_played[n]) for n in self.roster),
+            key=lambda r: -r[1],
+        )

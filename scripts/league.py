@@ -1,0 +1,72 @@
+#!/usr/bin/env python
+"""Elo league over a roster of policies: sampled 4-slot line-ups, batched
+games, ratings table.
+
+Usage:
+  python scripts/league.py --roster simple,random,harmless,lazy \
+      --rounds 6 --games 32 --steps 300 [--ckpt build/ppo_ckpt] [--cpu]
+Include ``ppo`` in the roster to rate a trained checkpoint.
+"""
+
+from __future__ import annotations
+
+import argparse
+import itertools
+import os
+import random
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import jax
+
+
+def main() -> None:
+    p = argparse.ArgumentParser()
+    p.add_argument("--roster", type=str, default="simple,random,harmless,lazy")
+    p.add_argument("--rounds", type=int, default=6,
+                   help="line-ups to play (cycled from all 2v2-ish pairings)")
+    p.add_argument("--games", type=int, default=32)
+    p.add_argument("--steps", type=int, default=300)
+    p.add_argument("--ckpt", type=str, default="")
+    p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--cpu", action="store_true")
+    args = p.parse_args()
+    if args.cpu:
+        jax.config.update("jax_platforms", "cpu")
+
+    from pomcpp_tpu.arena import League, play_games
+
+    roster = args.roster.split(",")
+    ppo_params = None
+    if "ppo" in roster:
+        from pomcpp_tpu.learner import ppo_init
+        from pomcpp_tpu.utils import restore_checkpoint
+
+        ts = ppo_init(jax.random.PRNGKey(0))
+        ts = restore_checkpoint(args.ckpt, ts)
+        ppo_params = ts.params
+
+    league = League(roster)
+    # Balanced 2+2 line-ups over all roster pairs, alternating seats.
+    pairs = list(itertools.combinations(roster, 2)) or [(roster[0],) * 2]
+    rng = random.Random(args.seed)
+    for rd in range(args.rounds):
+        a, b = pairs[rd % len(pairs)]
+        lineup = [a, b, a, b] if rd % 2 == 0 else [b, a, b, a]
+        res = play_games(
+            lineup, args.games, args.steps, ppo_params=ppo_params,
+            seed=args.seed + 1000 * rd + rng.randint(0, 999),
+        )
+        league.record(lineup, res)
+        finished = int(res.done.sum())
+        print(f"round {rd}: {lineup} -> {finished}/{args.games} finished "
+              f"in <={res.steps} steps", flush=True)
+
+    print("\nElo table:")
+    for name, rating, games in league.table():
+        print(f"  {name:10s} {rating:7.1f}  ({games} games)")
+
+
+if __name__ == "__main__":
+    main()

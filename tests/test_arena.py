@@ -1,0 +1,34 @@
+"""Arena + Elo league (pomcpp_tpu/arena.py)."""
+
+import numpy as np
+
+from pomcpp_tpu.arena import GameResults, League, elo_expected, play_games
+
+
+def test_play_games_reports_outcomes():
+    res = play_games(["simple", "random", "lazy", "random"], games=4,
+                     steps=120, seed=3)
+    assert res.done.shape == (4,)
+    # Finished non-draw games have a valid winner id.
+    for g in range(4):
+        if res.done[g] and not res.draws[g]:
+            assert 0 <= res.winners[g] < 4
+
+
+def test_league_elo_updates():
+    lg = League(["a", "b", "c", "d"], k=32.0)
+    # Agent slot 0 ("a") wins both games; b/c/d share draws among them.
+    res = GameResults(
+        done=np.array([True, True]),
+        winners=np.array([0, 0], np.int32),
+        draws=np.array([False, False]),
+        steps=10,
+    )
+    lg.record(["a", "b", "c", "d"], res)
+    table = lg.table()
+    assert table[0][0] == "a" and table[0][1] > 1200.0
+    assert all(r < 1200.0 for _, r, _ in table[1:])
+    # Symmetric expectations.
+    assert abs(elo_expected(1200, 1200) - 0.5) < 1e-9
+    # Zero-sum within each pair update.
+    assert abs(sum(lg.ratings.values()) - 4 * 1200.0) < 1e-6
