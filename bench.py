@@ -119,6 +119,53 @@ def _bench_xla() -> float:
     return best
 
 
+def _ref_same_host() -> dict:
+    """Run the reference's own benchmark (tools/ref_perf.cpp, the protocol
+    of performance_test.cpp:52-112) on THIS host for apples-to-apples
+    ratios; the published 5.86M figure is from a 2015 4-core i5.  Best
+    effort: silently skipped if the toolchain or reference is absent."""
+    import re
+    import subprocess
+
+    root = os.path.dirname(os.path.abspath(__file__))
+    binp = os.path.join(root, "build", "ref_perf")
+    if not os.path.exists(binp):
+        if not os.path.isdir("/root/reference"):
+            return {}
+        srcs = [
+            os.path.join(root, "tools", "ref_perf.cpp"),
+            "/root/reference/src/bboard/bboard.cpp",
+            "/root/reference/src/bboard/environment.cpp",
+            "/root/reference/src/bboard/step.cpp",
+            "/root/reference/src/bboard/step_utility.cpp",
+            "/root/reference/src/bboard/strategy.cpp",
+            "/root/reference/src/agents/simple_agent.cpp",
+            "/root/reference/src/agents/basic_agents.cpp",
+        ]
+        try:
+            subprocess.run(
+                ["g++", "-O3", "-std=c++17", "-march=native",
+                 "-I/root/reference/include", *srcs, "-pthread", "-o", binp],
+                check=True, capture_output=True, timeout=120,
+            )
+        except Exception:
+            return {}
+    out = {}
+    for mode, key in (("harmless", "ref_same_host_harmless_steps_per_s"),
+                      ("simple", "ref_same_host_simple_steps_per_s")):
+        try:
+            r = subprocess.run(
+                [binp, mode, "4"], capture_output=True, text=True,
+                timeout=120, check=True,
+            )
+            m = re.search(r"steps_per_s=(\d+)", r.stdout)
+            if m:
+                out[key] = int(m.group(1))
+        except Exception:
+            pass
+    return out
+
+
 class _Deadline(Exception):
     pass
 
@@ -192,6 +239,16 @@ def main() -> None:
         out["simple_agent_steps_per_s"] = round(simple_sps, 1)
         out["simple_agent_vs_baseline"] = round(
             simple_sps / BASELINE_STEPS_PER_S, 3
+        )
+    ref = _ref_same_host()
+    out.update(ref)
+    if "ref_same_host_harmless_steps_per_s" in ref:
+        out["vs_ref_same_host"] = round(
+            best / ref["ref_same_host_harmless_steps_per_s"], 3
+        )
+    if simple_sps is not None and "ref_same_host_simple_steps_per_s" in ref:
+        out["simple_agent_vs_ref_same_host"] = round(
+            simple_sps / ref["ref_same_host_simple_steps_per_s"], 3
         )
     print(json.dumps(out))
 

@@ -23,6 +23,8 @@ tests/test_pallas_fsm.py (interpret mode).
 
 from __future__ import annotations
 
+import os as _os
+
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -42,7 +44,7 @@ from ..core.constants import (
     NUM_CELLS,
 )
 from ..core.state import I32
-from .pallas_step import LANES, _is_agent, _lane_iota, _push
+from .pallas_step import LANES, _SKIP, _is_agent, _lane_iota, _push
 
 # SWAR constants (int32 bit patterns; field i = byte i = agent i).
 _WALLB = 0x7E
@@ -179,8 +181,15 @@ def swar_bfs(board, ac, valid):
         changed = jnp.any(d != d_in)
         return d, r, changed.astype(I32), k + 1
 
-    def cond(carry):
-        return (carry[2] != 0) & (carry[3] < 40)
+    # FSM_BFS_FIXED=N (profiling only): run exactly N rounds, no
+    # convergence check -- isolates per-round cost vs round count.
+    _fixed = int(_os.environ.get("FSM_BFS_FIXED", "0"))
+    if _fixed:
+        def cond(carry):
+            return carry[3] < _fixed
+    else:
+        def cond(carry):
+            return (carry[2] != 0) & (carry[3] < 40)
 
     d, r, _, _ = jax.lax.while_loop(
         cond, body, (d0, r0, jnp.ones((), I32), jnp.zeros((), I32))
@@ -237,9 +246,18 @@ def fsm_block(board, btimer, bstr, ac, abc, amb, adead, rand,
     alive = adead == 0
 
     # --- shared maps ------------------------------------------------------
-    dmap = danger_map_tile(btimer, bstr, valid)
+    # (fsm_danger / fsm_bfs / fsm_sort in PALLAS_SKIP_PHASES stub a phase
+    # out for cost attribution; never set in production.)
+    if "fsm_danger" in _SKIP:
+        dmap = jnp.zeros((block, LANES), I32)
+    else:
+        dmap = danger_map_tile(btimer, bstr, valid)
     safe1 = (dmap == 0) | (dmap >= 2)
-    d_pl, r_pl = swar_bfs(board, ac, valid)
+    if "fsm_bfs" in _SKIP:
+        d_pl = jnp.full((block, LANES), _WALL4, I32)
+        r_pl = jnp.zeros((block, LANES), I32)
+    else:
+        d_pl, r_pl = swar_bfs(board, ac, valid)
 
     oh_ac = [lane == ac[:, i : i + 1] for i in range(4)]
     w_ac = _mkw_bytes(oh_ac)
@@ -384,11 +402,14 @@ def fsm_block(board, btimer, bstr, ac, abc, amb, adead, rand,
         return (carry[7] != 0) & jnp.any(carry[5] < 8)
 
     z4 = jnp.zeros((block, 4), I32)
-    s0, s1, s2, s3, _, _, _, _ = jax.lax.while_loop(
-        sort_cond, sort_body,
-        (new_mq[0], new_mq[1], new_mq[2], new_mq[3], mq_count, z4, z4,
-         jnp.ones((), I32)),
-    )
+    if "fsm_sort" in _SKIP:
+        s0, s1, s2, s3 = new_mq
+    else:
+        s0, s1, s2, s3, _, _, _, _ = jax.lax.while_loop(
+            sort_cond, sort_body,
+            (new_mq[0], new_mq[1], new_mq[2], new_mq[3], mq_count, z4, z4,
+             jnp.ones((), I32)),
+        )
     sorted_mq = [s0, s1, s2, s3]
     mq_empty = mq_count == 0
     m_queue = jnp.where(
