@@ -43,17 +43,30 @@ class GameResults(NamedTuple):
 
 
 def play_games(names, games: int, steps: int, ppo_params=None,
-               seed: int = 0, team: bool = False) -> GameResults:
+               seed: int = 0, team: bool = False,
+               search_kwargs=None) -> GameResults:
     """Play ``games`` batched games with the 4-slot line-up ``names``.
 
-    ``names[i]`` is one of random/harmless/lazy/simple/ppo (``ppo`` uses
-    ``ppo_params``).  Jit-compiled per distinct line-up.
+    ``names[i]`` is one of random/harmless/lazy/simple/ppo/mcts/lookahead
+    (``ppo`` uses ``ppo_params``; the planners take ``search_kwargs``,
+    e.g. ``{"n_sim": 24, "depth": 12}`` for mcts).  Jit-compiled per
+    distinct line-up.
     """
     assert len(names) == 4
 
     def act_one(key, game, aid, pstate, name):
         if name == "simple":
             return simple_agent_cell_policy(key, game, aid, pstate)
+        if name in ("mcts", "lookahead"):
+            from .search import lookahead_moves, mcts_moves
+
+            gb = jax.tree.map(lambda x: x[None], game)
+            if name == "mcts":
+                mv, _, _ = mcts_moves(gb, aid, key, **(search_kwargs or {}))
+            else:
+                mv, _ = lookahead_moves(gb, aid, key,
+                                        **(search_kwargs or {}))
+            return mv[0], pstate
         if name == "ppo":
             from .env.observation import observe_ego
             from .learner.ppo import _MODEL

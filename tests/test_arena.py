@@ -32,3 +32,12 @@ def test_league_elo_updates():
     assert abs(elo_expected(1200, 1200) - 0.5) < 1e-9
     # Zero-sum within each pair update.
     assert abs(sum(lg.ratings.values()) - 4 * 1200.0) < 1e-6
+
+
+def test_play_games_with_mcts_lineup():
+    res = play_games(
+        ["mcts", "random", "random", "random"], games=3, steps=40,
+        seed=3, search_kwargs={"n_sim": 6, "depth": 3, "max_tree_depth": 3},
+    )
+    assert res.winners.shape == (3,)
+    assert res.steps <= 40

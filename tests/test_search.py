@@ -9,7 +9,7 @@ from pomcpp_tpu.core.constants import M_UP
 from pomcpp_tpu.core.state import empty_state, put_agent
 from pomcpp_tpu.engine.cellular import from_state
 from pomcpp_tpu.engine.flames import spawn_flame
-from pomcpp_tpu.search import lookahead_moves
+from pomcpp_tpu.search import lookahead_moves, mcts_moves
 
 
 def test_lookahead_avoids_walking_into_flame():
@@ -34,3 +34,50 @@ def test_lookahead_avoids_walking_into_flame():
     assert (np.asarray(moves) != M_UP).all()
     # Some non-suicidal candidate scores strictly better.
     assert (vals.max(axis=1) > 0.5).all()
+
+
+def test_mcts_avoids_walking_into_flame():
+    # Same scenario as above, through the UCT tree: the six root edges are
+    # each tried once (unvisited-first), UP's playouts all score the death
+    # floor, so visits concentrate elsewhere and the robust child is never
+    # UP.
+    s = empty_state()
+    s = put_agent(s, 0, 2, 0)
+    s = put_agent(s, 10, 10, 1)
+    s = put_agent(s, 0, 10, 2)
+    s = put_agent(s, 10, 0, 3)
+    s = spawn_flame(s, 0, 0, 1)
+    cs = from_state(s)
+    csb = jax.tree.map(lambda x: jnp.broadcast_to(x, (2,) + x.shape), cs)
+
+    moves, visits, root_q = mcts_moves(
+        csb, 0, jax.random.PRNGKey(0), n_sim=18, depth=3, max_tree_depth=4
+    )
+    visits = np.asarray(visits)
+    root_q = np.asarray(root_q)
+    # Every simulation backprops exactly one root-edge visit.
+    assert (visits.sum(axis=1) == 18).all(), visits
+    # All six root edges were expanded (unvisited-first selection).
+    assert (visits > 0).all(), visits
+    # The suicidal edge keeps the death-floor value and loses the argmax.
+    assert (root_q[:, M_UP] == 0.0).all(), root_q
+    assert (np.asarray(moves) != M_UP).all()
+    assert (visits[:, M_UP] < visits.max(axis=1)).all(), visits
+
+
+def test_mcts_dead_agent_idles():
+    s = empty_state()
+    s = put_agent(s, 0, 2, 0)
+    s = put_agent(s, 10, 10, 1)
+    s = put_agent(s, 0, 10, 2)
+    s = put_agent(s, 10, 0, 3)
+    cs = from_state(s)
+    cs = cs._replace(
+        agent_dead=cs.agent_dead.at[0].set(True),
+        alive_count=jnp.asarray(3, cs.alive_count.dtype),
+    )
+    csb = jax.tree.map(lambda x: jnp.broadcast_to(x, (1,) + x.shape), cs)
+    moves, _, _ = mcts_moves(
+        csb, 0, jax.random.PRNGKey(1), n_sim=6, depth=2, max_tree_depth=2
+    )
+    assert int(moves[0]) == 0
