@@ -4,14 +4,13 @@ The reference exists "so tree search / RL becomes computationally feasible"
 (pomcpp README.md:4) but ships no search itself.  This module supplies the
 missing capability the TPU-native way: candidate moves are evaluated by
 MANY parallel random playouts batched through the engine -- one jitted
-call evaluates every (board, candidate, playout) combination at once, so a
-6-way lookahead over thousands of boards rides the same throughput path as
-the benchmarks (the fused chunk kernel on TPU, the cellular engine on CPU).
+call evaluates every (board, candidate, playout) combination at once.
 
-Two planners:
+Three planners:
 
-- ``lookahead_moves``: 1-ply expansion + flat Monte-Carlo playouts;
-  argmax over candidate moves of mean playout return.
+- ``lookahead_moves``: 1-ply expansion + flat Monte-Carlo playouts over
+  the cellular engine; argmax over candidate moves of mean playout
+  return.
 - ``mcts_moves``: full UCT tree search, vectorized the mctx way -- the
   tree is a set of fixed-size arrays (visit counts / value sums / child
   indices), every simulation is one scan iteration, and the whole search
@@ -21,6 +20,10 @@ Two planners:
   sampled opponent moves, which is the textbook treatment of stochastic
   opponents (no determinization bias) and keeps tree memory at
   O(nodes * 6) scalars instead of O(nodes * board).
+- ``mcts_moves_pallas``: the same search restructured batch-level so the
+  engine work runs through the fused Pallas chunk kernel (the benchmark
+  throughput path) and the tree ops are gather-free one-hot
+  contractions.
 """
 
 from __future__ import annotations
@@ -218,3 +221,152 @@ def mcts_moves(cs_batch: CellState, agent_id, key, n_sim: int = 24,
 
     keys = jax.random.split(key, b)
     return jax.vmap(per_board)(cs_batch, keys)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("n_sim", "depth", "max_tree_depth", "interpret"),
+)
+def mcts_moves_pallas(cs_batch: CellState, agent_id, key, n_sim: int = 24,
+                      depth: int = 12, max_tree_depth: int = 8,
+                      c_uct: float = 1.25, interpret: bool = False):
+    """``mcts_moves`` restructured to ride the fused Pallas chunk kernel.
+
+    Same UCT tree policy, but organized batch-level so every engine step
+    is one kernel launch over the whole batch: the selection walk steps
+    all B boards together (one injected-move launch per tree depth), and
+    the playout is a single ``depth``-step chunk launch with host-drawn
+    random moves injected (dead agents' moves are inert inside the
+    kernel, proven by the record/replay equivalence suite).  All tree
+    reads/writes are one-hot contractions over the [B, nodes, 6] stat
+    arrays -- no gathers/scatters anywhere (TPU serializes those).
+
+    Divergence from ``mcts_moves``: playout value is binary survival
+    (+win bonus) rather than fractional survival time -- the chunk kernel
+    reports final state, not per-step death times.  Returns the same
+    ``(moves, root_visits, root_q)`` triple.
+    """
+    from .engine.pallas_step import pallas_rollout_chunk
+
+    b = cs_batch.board.shape[0]
+    max_nodes = n_sim + 1
+    a6f = jnp.arange(6, dtype=jnp.float32)
+
+    def oh(idx, n, dt):  # [B] -> [B, n] one-hot
+        return (idx[:, None] == jnp.arange(n)).astype(dt)
+
+    def keep_old(keep, old, new):  # per-board select, any leaf rank
+        k = keep.reshape((b,) + (1,) * (old.ndim - 1))
+        return jnp.where(k, old, new)
+
+    def step_all(cs, moves):  # one fused engine step for the whole batch
+        return pallas_rollout_chunk(
+            cs, 0, steps=1, moves=moves[None], auto_reset=False,
+            interpret=interpret,
+        )
+
+    def simulate(carry, k):
+        n_vis, w_sum, child, n_used = carry
+        k_sel, k_play = jax.random.split(k)
+
+        def sel_step(c, inp):
+            ko = inp
+            cs, node, stopped, en, ea = c
+            ohf = oh(node, max_nodes, jnp.float32)          # [B, N]
+            ohi = oh(node, max_nodes, I32)
+            nv = jnp.einsum("bn,bnk->bk", ohf, n_vis)       # [B, 6]
+            ws = jnp.einsum("bn,bnk->bk", ohf, w_sum)
+            ch = jnp.sum(ohi[:, :, None] * child, axis=1)   # [B, 6]
+            q = ws / jnp.maximum(nv, 1.0)
+            u = c_uct * jnp.sqrt(
+                jnp.log(nv.sum(1, keepdims=True) + 1.0)
+                / jnp.maximum(nv, 1.0)
+            )
+            score = jnp.where(nv == 0.0, 1e9 - a6f, q + u)
+            a = jnp.argmax(score, axis=1).astype(I32)       # [B]
+            rec_n = jnp.where(stopped, -1, node)
+            others = jax.random.randint(ko, (b, 4), 0, 6, I32)
+            moves = jnp.where(
+                jnp.arange(4)[None, :] == agent_id, a[:, None], others
+            )
+            cs1 = step_all(cs, moves)
+            cs = jax.tree.map(
+                lambda o, n: keep_old(stopped, o, n), cs, cs1
+            )
+            nxt = jnp.sum(oh(a, 6, I32) * ch, axis=1)       # [B]
+            stop_now = (~stopped) & (nxt < 0)
+            en = jnp.where(stop_now, node, en)
+            ea = jnp.where(stop_now, a, ea)
+            node = jnp.where(stopped | stop_now, node, nxt)
+            stopped = stopped | stop_now
+            return (cs, node, stopped, en, ea), (rec_n, a)
+
+        init = (
+            cs_batch, jnp.zeros((b,), I32), jnp.zeros((b,), bool),
+            jnp.full((b,), -1, I32), jnp.zeros((b,), I32),
+        )
+        (leaf, _, expanding, en, ea), (path_n, path_a) = jax.lax.scan(
+            sel_step, init, jax.random.split(k_sel, max_tree_depth)
+        )
+
+        # Expansion: bind edge (en, ea) to node index n_used where a fresh
+        # edge was reached (one-hot masked write, no scatter).
+        m_edge = (
+            oh(jnp.maximum(en, 0), max_nodes, I32)[:, :, None]
+            * oh(ea, 6, I32)[:, None, :]
+        ) * expanding[:, None, None].astype(I32)
+        child = jnp.where(
+            m_edge > 0,
+            jnp.broadcast_to(n_used[:, None, None], child.shape),
+            child,
+        )
+        n_used = n_used + expanding.astype(I32)
+
+        # Playout: one chunk launch, host-drawn moves injected.
+        pmoves = jax.random.randint(k_play, (depth, b, 4), 0, 6, I32)
+        fin = pallas_rollout_chunk(
+            leaf, 0, steps=depth, moves=pmoves, auto_reset=False,
+            interpret=interpret,
+        )
+        dead = jnp.sum(
+            fin.agent_dead.astype(I32)
+            * (jnp.arange(4)[None, :] == agent_id), axis=1,
+        ) > 0
+        alive = ~dead
+        value = alive.astype(jnp.float32) + (
+            alive & (fin.alive_count == 1)
+        ).astype(jnp.float32)
+
+        def backp(c, pe):
+            n_vis, w_sum = c
+            pn, pa = pe
+            m = (
+                oh(jnp.maximum(pn, 0), max_nodes, jnp.float32)[:, :, None]
+                * oh(pa, 6, jnp.float32)[:, None, :]
+            ) * (pn >= 0).astype(jnp.float32)[:, None, None]
+            return (n_vis + m, w_sum + m * value[:, None, None]), None
+
+        (n_vis, w_sum), _ = jax.lax.scan(
+            backp, (n_vis, w_sum), (path_n, path_a)
+        )
+        return (n_vis, w_sum, child, n_used), None
+
+    (n_vis, w_sum, _, _), _ = jax.lax.scan(
+        simulate,
+        (
+            jnp.zeros((b, max_nodes, 6), jnp.float32),
+            jnp.zeros((b, max_nodes, 6), jnp.float32),
+            jnp.full((b, max_nodes, 6), -1, I32),
+            jnp.ones((b,), I32),
+        ),
+        jax.random.split(key, n_sim),
+    )
+    root_v = n_vis[:, 0]
+    root_q = w_sum[:, 0] / jnp.maximum(root_v, 1.0)
+    mv = jnp.argmax(root_v, axis=1).astype(I32)
+    dead_root = jnp.sum(
+        cs_batch.agent_dead.astype(I32)
+        * (jnp.arange(4)[None, :] == agent_id), axis=1,
+    ) > 0
+    mv = jnp.where(dead_root, 0, mv)
+    return mv, root_v.astype(I32), root_q

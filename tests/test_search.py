@@ -81,3 +81,30 @@ def test_mcts_dead_agent_idles():
         csb, 0, jax.random.PRNGKey(1), n_sim=6, depth=2, max_tree_depth=2
     )
     assert int(moves[0]) == 0
+
+
+def test_mcts_pallas_avoids_walking_into_flame():
+    # The pallas-backed batch-level MCTS (interpret mode on CPU): same
+    # scenario, same behavioral assertions as the cellular-backend test.
+    from pomcpp_tpu.search import mcts_moves_pallas
+
+    s = empty_state()
+    s = put_agent(s, 0, 2, 0)
+    s = put_agent(s, 10, 10, 1)
+    s = put_agent(s, 0, 10, 2)
+    s = put_agent(s, 10, 0, 3)
+    s = spawn_flame(s, 0, 0, 1)
+    cs = from_state(s)
+    csb = jax.tree.map(lambda x: jnp.broadcast_to(x, (2,) + x.shape), cs)
+
+    moves, visits, root_q = mcts_moves_pallas(
+        csb, 0, jax.random.PRNGKey(0), n_sim=18, depth=3,
+        max_tree_depth=4, interpret=True,
+    )
+    visits = np.asarray(visits)
+    root_q = np.asarray(root_q)
+    assert (visits.sum(axis=1) == 18).all(), visits
+    assert (visits > 0).all(), visits
+    assert (root_q[:, M_UP] == 0.0).all(), root_q
+    assert (np.asarray(moves) != M_UP).all()
+    assert (visits[:, M_UP] < visits.max(axis=1)).all(), visits
