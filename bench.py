@@ -96,6 +96,8 @@ def _bench_pallas(policy: str = "harmless") -> float:
 
 def _bench_xla() -> float:
     """Fallback: the vmapped XLA cellular engine."""
+    import jax.numpy as jnp
+
     from pomcpp_tpu.agents import harmless_agent
     from pomcpp_tpu.env import env_reset, rollout
 
@@ -113,7 +115,9 @@ def _bench_xla() -> float:
     for _ in range(ROUNDS):
         t0 = time.perf_counter()
         es, metrics = run(es)
-        jax.block_until_ready(es)
+        # Host fetch = real barrier (axon's block_until_ready can return
+        # before the device work finishes).
+        float(jnp.sum(es.game.alive_count))
         dt = time.perf_counter() - t0
         best = max(best, BATCH * CHUNK / dt)
     return best

@@ -79,10 +79,10 @@ def main() -> None:
             jax.vmap(lambda e: rollout(e, random_agent, args.chunk))
         )
         es, _ = run(es)  # compile + warm
-        jax.block_until_ready(es)
+        float(jnp.sum(es.game.alive_count))  # host fetch = real barrier
         with jax.profiler.trace(args.out):
             es, _ = run(es)
-            jax.block_until_ready(es)
+            float(jnp.sum(es.game.alive_count))
     print(f"trace written to {args.out}")
 
 

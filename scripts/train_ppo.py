@@ -74,9 +74,10 @@ def main() -> None:
     for it in range(args.iters):
         t0 = time.perf_counter()
         ts, es, metrics = step(ts, es)
-        jax.block_until_ready(ts.params)
-        dt = time.perf_counter() - t0
+        # Host fetch = real barrier (axon's block_until_ready can return
+        # before the device work finishes); keep it inside the timed window.
         m = {k: float(v) for k, v in metrics.items()}
+        dt = time.perf_counter() - t0
         m.update(
             iter=it,
             update=int(ts.update_count),
