@@ -13,6 +13,13 @@ code over the global batch.
 
 Rewards (per agent, sparse, standard Pommerman shaping):
   +1 on the step their game ends won; -1 on the step they die; 0 otherwise.
+
+Besides shared-policy self-play, ``PPOConfig.opponent`` trains a learner
+against scripted opponents (the standard Pommerman curriculum): slots
+outside ``learner_slots`` are driven by random/harmless/lazy or the
+conformance SimpleAgent FSM (agents/simple_cellular.py, the policy the
+reference benchmarks with -- performance_test.cpp:38), and only learner
+transitions enter GAE and the loss.
 """
 
 from __future__ import annotations
@@ -24,9 +31,12 @@ import jax.numpy as jnp
 import optax
 from jax import lax
 
+from ..agents import harmless_agent, lazy_agent, random_agent
+from ..agents.simple import simple_agent_init_batch
+from ..agents.simple_cellular import simple_agent_cell_joint
 from ..core.constants import AGENT_COUNT
 from ..core.state import I32
-from ..env.environment import TEAM_OF, EnvState, env_step_auto_reset
+from ..env.environment import TEAM_OF, EnvState, act_all, env_step_auto_reset
 from ..env.observation import observe_ego
 from ..env.observation import DEFAULT_VIEW_RANGE as _VIEW
 from ..models.actor_critic import ActorCritic, obs_to_features
@@ -47,6 +57,13 @@ class PPOConfig(NamedTuple):
     fused_env: bool = False  # step rollouts through the fused Pallas
                              # kernel (TPU; batch % 256 == 0) instead of
                              # ~600 launch-bound XLA ops per step
+    opponent: str = ""       # "" = shared-policy self-play; else the agent
+                             # slots NOT in learner_slots are driven by this
+                             # scripted policy (random/harmless/lazy/simple)
+                             # and excluded from rollout storage and loss --
+                             # the standard Pommerman curriculum (train one
+                             # learner against the reference SimpleAgent).
+    learner_slots: tuple = (0, 1, 2, 3)  # net-controlled agent ids (static)
 
 
 class TrainState(NamedTuple):
@@ -80,8 +97,8 @@ def ppo_init(key: jax.Array, cfg: PPOConfig = PPOConfig()) -> TrainState:
     )
 
 
-def _policy_all_agents(params, game, key):
-    """Sample moves for all 4 agents -> (moves, logp, value, feats)."""
+def _policy_slots(params, game, key, slots):
+    """Sample net moves for the given agent ids -> (moves, logp, value, feats)."""
 
     def one(k, aid):
         obs = observe_ego(game, aid)
@@ -91,9 +108,40 @@ def _policy_all_agents(params, game, key):
         logp = jax.nn.log_softmax(logits)[move]
         return move.astype(I32), logp, value, feats
 
-    keys = jax.random.split(key, AGENT_COUNT)
-    ids = jnp.arange(AGENT_COUNT, dtype=I32)
+    keys = jax.random.split(key, len(slots))
+    ids = jnp.asarray(slots, I32)
     return jax.vmap(one)(keys, ids)
+
+
+def _policy_all_agents(params, game, key):
+    """Sample moves for all 4 agents -> (moves, logp, value, feats)."""
+    return _policy_slots(params, game, key, tuple(range(AGENT_COUNT)))
+
+
+def opponent_state_init(batch: int):
+    """Fresh per-board scripted-opponent FSM state ([B, 4, ...] pytree).
+
+    Only the SimpleAgent opponent is stateful; the same pytree is threaded
+    (and ignored) for the stateless ones so carriers have a fixed structure.
+    """
+    st = simple_agent_init_batch()
+    return jax.tree.map(
+        lambda x: jnp.broadcast_to(x, (batch,) + x.shape), st
+    )
+
+
+def _opponent_moves_batch(name, keys, games, opp_state):
+    """Scripted moves for ALL 4 slots on every board -> (i32[B,4], state')."""
+    if name == "simple":
+        moves, opp2 = jax.vmap(simple_agent_cell_joint)(keys, games, opp_state)
+        return jnp.where(games.agent_dead, 0, moves).astype(I32), opp2
+    pol = {
+        "random": random_agent,
+        "harmless": harmless_agent,
+        "lazy": lazy_agent,
+    }[name]
+    moves = jax.vmap(lambda k, g: act_all(pol, k, g))(keys, games)
+    return moves, opp_state
 
 
 class Transition(NamedTuple):
@@ -164,29 +212,62 @@ def collect_rollout(params, es: EnvState, cfg: PPOConfig):
     return es_final, traj, boot_value
 
 
-def collect_rollout_batch(params, es: EnvState, cfg: PPOConfig):
+def collect_rollout_batch(params, es: EnvState, cfg: PPOConfig, opp_state=None):
     """``collect_rollout`` over the whole boards batch at once.
 
     Same semantics as ``jax.vmap(collect_rollout)`` (returns [B, T, ...]
     trajectories); the point is ``cfg.fused_env``: the env step runs as ONE
     fused Pallas kernel launch per step instead of per-board vmapped XLA
     ops, which are launch-bound at PPO batch sizes.
+
+    With ``cfg.opponent`` set, slots outside ``cfg.learner_slots`` act via
+    the scripted policy; the trajectory (and thus the loss) carries ONLY the
+    learner slots ([B, T, L, ...]), and a 4th element (the opponent FSM
+    state, reset alongside auto-reset boards) is returned.
     """
     from ..env.environment import env_step_auto_reset_batch
 
+    slots = tuple(cfg.learner_slots) if cfg.opponent else tuple(
+        range(AGENT_COUNT)
+    )
+    sl = list(slots)
+
     def body(carry, _):
-        es = carry
-        ks = jax.vmap(jax.random.split)(es.key)
-        k_act, k_next = ks[:, 0], ks[:, 1]
-        moves, logp, value, feats = jax.vmap(
-            lambda k, g: _policy_all_agents(params, g, k)
+        es, opp = carry
+        if cfg.opponent:
+            ks = jax.vmap(lambda k: jax.random.split(k, 3))(es.key)
+            k_act, k_opp, k_next = ks[:, 0], ks[:, 1], ks[:, 2]
+        else:
+            # Bit-identical key flow to collect_rollout (the vmapped path).
+            ks = jax.vmap(jax.random.split)(es.key)
+            k_act, k_next = ks[:, 0], ks[:, 1]
+            k_opp = None
+        moves_l, logp, value, feats = jax.vmap(
+            lambda k, g: _policy_slots(params, g, k, slots)
         )(k_act, es.game)
         alive_before = ~es.game.agent_dead
+        if cfg.opponent:
+            moves, opp = _opponent_moves_batch(
+                cfg.opponent, k_opp, es.game, opp
+            )
+            for i, s in enumerate(slots):
+                moves = moves.at[:, s].set(moves_l[:, i])
+        else:
+            moves = moves_l
         moves = jnp.where(es.game.agent_dead, 0, moves)
         es2 = env_step_auto_reset_batch(
             es._replace(key=k_next), moves,
             team_mode=cfg.team_mode, fused=cfg.fused_env,
         )
+        if cfg.opponent == "simple":
+            # A board that auto-reset starts its opponents from fresh FSMs.
+            fresh = opponent_state_init(es.done.shape[0])
+            opp = jax.tree.map(
+                lambda f, o: jnp.where(
+                    es.done.reshape((-1,) + (1,) * (o.ndim - 1)), f, o
+                ),
+                fresh, opp,
+            )
         died = alive_before & jnp.where(
             es.done[:, None], False, es2.game.agent_dead
         )
@@ -198,23 +279,27 @@ def collect_rollout_batch(params, es: EnvState, cfg: PPOConfig):
         won = new_done & (team == es2.winner[:, None]) & alive_before
         reward = won.astype(jnp.float32) - died.astype(jnp.float32)
         tr = Transition(
-            feats=feats.reshape(feats.shape[0], AGENT_COUNT, -1),
-            move=moves,
+            feats=feats.reshape(feats.shape[0], len(slots), -1),
+            move=moves[:, sl],
             logp=logp,
             value=value,
-            reward=reward,
-            alive=alive_before,
+            reward=reward[:, sl],
+            alive=alive_before[:, sl],
             done=es2.done & ~es.done,
             valid=~es.done,
         )
-        return es2, tr
+        return (es2, opp), tr
 
-    es_final, traj = lax.scan(body, es, None, length=cfg.rollout_len)
+    (es_final, opp_final), traj = lax.scan(
+        body, (es, opp_state), None, length=cfg.rollout_len
+    )
     # [T, B, ...] -> [B, T, ...] to match the vmapped collect layout.
     traj = jax.tree.map(lambda x: jnp.swapaxes(x, 0, 1), traj)
     _, _, boot_value, _ = jax.vmap(
-        lambda g: _policy_all_agents(params, g, jax.random.PRNGKey(0))
+        lambda g: _policy_slots(params, g, jax.random.PRNGKey(0), slots)
     )(es_final.game)
+    if cfg.opponent:
+        return es_final, traj, boot_value, opp_final
     return es_final, traj, boot_value
 
 
@@ -314,15 +399,26 @@ def ppo_update(ts: TrainState, flat_batch, cfg: PPOConfig):
     )
 
 
-def ppo_train_step(ts: TrainState, es_batch: EnvState, cfg: PPOConfig = PPOConfig()):
+def ppo_train_step(ts: TrainState, es_batch: EnvState, cfg: PPOConfig = PPOConfig(),
+                   opp_state=None):
     """One full PPO iteration over a batched env: collect + GAE + update.
 
     ``es_batch`` has a leading boards axis (shard it over the mesh); the
     returned env continues from where the rollout stopped.  jit this whole
     function -- under a boards NamedSharding the only collective XLA inserts
     is the gradient/metric all-reduce.
+
+    With ``cfg.opponent`` set the return gains a 4th element (the scripted
+    opponents' FSM state — thread it back in, or pass None to start fresh).
     """
-    if cfg.fused_env:
+    opp_final = None
+    if cfg.opponent:
+        if opp_state is None and cfg.opponent == "simple":
+            opp_state = opponent_state_init(es_batch.done.shape[0])
+        es_final, traj, boot, opp_final = collect_rollout_batch(
+            ts.params, es_batch, cfg, opp_state
+        )
+    elif cfg.fused_env:
         es_final, traj, boot = collect_rollout_batch(ts.params, es_batch, cfg)
     else:
         es_final, traj, boot = jax.vmap(
@@ -347,4 +443,6 @@ def ppo_train_step(ts: TrainState, es_batch: EnvState, cfg: PPOConfig = PPOConfi
         traj.done.sum(), 1
     )
     metrics["episodes"] = traj.done.sum()
+    if cfg.opponent:
+        return ts, es_final, metrics, opp_final
     return ts, es_final, metrics

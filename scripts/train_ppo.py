@@ -46,6 +46,12 @@ def main() -> None:
     p.add_argument("--fused", action="store_true",
                    help="step rollouts through the fused Pallas kernel "
                         "(TPU; batch %% 256 == 0)")
+    p.add_argument("--opponent", type=str, default="",
+                   help="scripted policy (random/harmless/lazy/simple) for "
+                        "the slots NOT in --learner-slots; '' = self-play")
+    p.add_argument("--learner-slots", type=str, default="0",
+                   help="comma-separated net-controlled agent ids "
+                        "(only with --opponent)")
     args = p.parse_args()
 
     from pomcpp_tpu.env import env_reset
@@ -54,7 +60,11 @@ def main() -> None:
     from pomcpp_tpu.utils import restore_checkpoint, save_checkpoint
 
     cfg = PPOConfig(rollout_len=args.rollout, lr=args.lr, team_mode=args.team,
-                    fused_env=args.fused, epochs=args.epochs)
+                    fused_env=args.fused, epochs=args.epochs,
+                    opponent=args.opponent,
+                    learner_slots=tuple(
+                        int(s) for s in args.learner_slots.split(",")
+                    ) if args.opponent else (0, 1, 2, 3))
     ts = ppo_init(jax.random.PRNGKey(args.seed), cfg)
     if args.resume and args.ckpt_dir and os.path.exists(args.ckpt_dir):
         ts = restore_checkpoint(args.ckpt_dir, ts)
@@ -68,12 +78,24 @@ def main() -> None:
         es = shard_env_batch(es, mesh)
         print(f"boards mesh over {len(jax.devices())} device(s)")
 
-    step = jax.jit(lambda ts, es: ppo_train_step(ts, es, cfg))
+    if args.opponent:
+        from pomcpp_tpu.learner.ppo import opponent_state_init
+
+        opp = opponent_state_init(args.batch)
+        step = jax.jit(
+            lambda ts, es, opp: ppo_train_step(ts, es, cfg, opp)
+        )
+    else:
+        opp = None
+        step = jax.jit(lambda ts, es: ppo_train_step(ts, es, cfg))
 
     steps_per_iter = args.batch * cfg.rollout_len
     for it in range(args.iters):
         t0 = time.perf_counter()
-        ts, es, metrics = step(ts, es)
+        if args.opponent:
+            ts, es, metrics, opp = step(ts, es, opp)
+        else:
+            ts, es, metrics = step(ts, es)
         # Host fetch = real barrier (axon's block_until_ready can return
         # before the device work finishes); keep it inside the timed window.
         m = {k: float(v) for k, v in metrics.items()}

@@ -132,3 +132,52 @@ def test_batched_collect_matches_vmapped():
     for a, b in zip(jax.tree.leaves(ref_final), jax.tree.leaves(got_final)):
         assert np.array_equal(np.asarray(a), np.asarray(b))
     assert np.allclose(np.asarray(ref_boot), np.asarray(got_boot))
+
+
+def test_opponent_slots_follow_scripted_policy():
+    """opponent='lazy' slots never move; only learner slots are stored."""
+    from pomcpp_tpu.learner.ppo import collect_rollout_batch
+
+    cfg = PPOConfig(rollout_len=6, epochs=1, minibatches=2,
+                    opponent="lazy", learner_slots=(0,))
+    ts = ppo_init(jax.random.PRNGKey(0), cfg)
+    es = jax.vmap(lambda k: env_reset(k, engine="cellular"))(
+        jax.random.split(jax.random.PRNGKey(5), 8)
+    )
+    x0 = np.asarray(es.game.agent_x)
+    y0 = np.asarray(es.game.agent_y)
+    es_final, traj, boot, opp = jax.jit(
+        lambda e: collect_rollout_batch(ts.params, e, cfg)
+    )(es)
+    # Learner-only storage: [B, T, 1, ...].
+    assert traj.move.shape == (8, 6, 1)
+    assert traj.feats.shape[:3] == (8, 6, 1)
+    assert boot.shape == (8, 1)
+    # No board finishes in 6 steps (bombs need 10 to blow), so lazy
+    # opponents (slots 1-3) stand still the whole rollout.
+    xf = np.asarray(es_final.game.agent_x)
+    yf = np.asarray(es_final.game.agent_y)
+    assert np.array_equal(x0[:, 1:], xf[:, 1:])
+    assert np.array_equal(y0[:, 1:], yf[:, 1:])
+    # The learner acts with a fresh random net: someone moved somewhere.
+    assert (x0[:, 0] != xf[:, 0]).any() or (y0[:, 0] != yf[:, 0]).any()
+
+
+def test_opponent_simple_train_step_runs():
+    """Full train step vs SimpleAgent opponents: loss finite, FSM threaded."""
+    from pomcpp_tpu.learner.ppo import opponent_state_init
+
+    cfg = PPOConfig(rollout_len=4, epochs=1, minibatches=2,
+                    opponent="simple", learner_slots=(0,))
+    ts = ppo_init(jax.random.PRNGKey(0), cfg)
+    es = jax.vmap(lambda k: env_reset(k, engine="cellular"))(
+        jax.random.split(jax.random.PRNGKey(6), 4)
+    )
+    opp = opponent_state_init(4)
+    step = jax.jit(lambda ts, es, opp: ppo_train_step(ts, es, cfg, opp))
+    ts, es, metrics, opp = step(ts, es, opp)
+    ts, es, metrics, opp = step(ts, es, opp)
+    assert int(ts.update_count) == 2
+    assert np.isfinite(float(metrics["loss"]))
+    # The FSM state advanced (recent-position ring counts grow from 0).
+    assert np.asarray(opp.rp_count).sum() > 0
