@@ -37,6 +37,10 @@ def main() -> None:
                    help="2v2 team mode ({0,2} vs {1,3}); reports team win rates")
     p.add_argument("--mcts-sims", type=int, default=24)
     p.add_argument("--mcts-depth", type=int, default=12)
+    p.add_argument("--rotate", action="store_true",
+                   help="play games/4 per seat rotation of the line-up and "
+                        "aggregate per POLICY (seat position biases FFA "
+                        "win rates); reports per-name totals")
     args = p.parse_args()
     if args.cpu:
         jax.config.update("jax_platforms", "cpu")
@@ -61,26 +65,42 @@ def main() -> None:
     elif "lookahead" in names:
         search_kwargs = {"depth": args.mcts_depth}
 
-    res = play_games(
-        names, games=args.games, steps=args.steps, ppo_params=ppo_params,
-        seed=args.seed, team=args.team, search_kwargs=search_kwargs,
+    rotations = (
+        [tuple(names[-r:] + names[:-r]) for r in range(4)]
+        if args.rotate and not args.team
+        else [tuple(names)]
     )
+    games_per = args.games // len(rotations)
 
     counts = collections.Counter()
-    for g in range(args.games):
-        if not res.done[g]:
-            counts["timeout"] += 1
-        elif res.draws[g]:
-            counts["draw"] += 1
-        elif args.team:
-            members = [i for i in (0, 1, 2, 3) if i % 2 == res.winners[g]]
-            label = "+".join(names[i] for i in members)
-            counts[f"team{res.winners[g]}({label})"] += 1
-        else:
-            counts[f"agent{res.winners[g]}({names[res.winners[g]]})"] += 1
-    print(f"games={args.games} steps_played<={res.steps}")
+    max_steps = 0
+    total = 0
+    for ri, lineup in enumerate(rotations):
+        res = play_games(
+            list(lineup), games=games_per, steps=args.steps,
+            ppo_params=ppo_params, seed=args.seed + ri, team=args.team,
+            search_kwargs=search_kwargs,
+        )
+        max_steps = max(max_steps, res.steps)
+        total += games_per
+        for g in range(games_per):
+            if not res.done[g]:
+                counts["timeout"] += 1
+            elif res.draws[g]:
+                counts["draw"] += 1
+            elif args.team:
+                members = [i for i in (0, 1, 2, 3) if i % 2 == res.winners[g]]
+                label = "+".join(lineup[i] for i in members)
+                counts[f"team{res.winners[g]}({label})"] += 1
+            elif args.rotate:
+                counts[f"win({lineup[res.winners[g]]})"] += 1
+            else:
+                counts[
+                    f"agent{res.winners[g]}({lineup[res.winners[g]]})"
+                ] += 1
+    print(f"games={total} steps_played<={max_steps}")
     for k_, v in sorted(counts.items()):
-        print(f"  {k_}: {v} ({100 * v / args.games:.1f}%)")
+        print(f"  {k_}: {v} ({100 * v / total:.1f}%)")
 
 
 if __name__ == "__main__":
