@@ -57,11 +57,18 @@ def play_games(names, games: int, steps: int, ppo_params=None,
     def act_one(key, game, aid, pstate, name):
         if name == "simple":
             return simple_agent_cell_policy(key, game, aid, pstate)
-        if name in ("mcts", "lookahead"):
-            from .search import lookahead_moves, mcts_moves
+        if name in ("mcts", "lookahead", "azmcts"):
+            from .search import lookahead_moves, mcts_moves, mcts_moves_net
 
             gb = jax.tree.map(lambda x: x[None], game)
-            if name == "mcts":
+            if name == "azmcts":
+                from .learner.ppo import _MODEL
+
+                mv, _, _ = mcts_moves_net(
+                    gb, aid, key, _MODEL.apply, ppo_params,
+                    **(search_kwargs or {}),
+                )
+            elif name == "mcts":
                 mv, _, _ = mcts_moves(gb, aid, key, **(search_kwargs or {}))
             else:
                 mv, _ = lookahead_moves(gb, aid, key,

@@ -90,13 +90,21 @@ def env_reset_np(seed: int = 0x1337, **kw) -> EnvState:
 TEAM_OF = (0, 1, 0, 1)
 
 
-def _detect_terminal(es: EnvState, team_mode: bool = False) -> EnvState:
+def _detect_terminal(es: EnvState, team_mode: bool = False,
+                     max_steps: int = 0) -> EnvState:
     """Win/draw latching after a step (environment.cpp:152-168).
 
     FFA: last agent standing wins; zero alive is a draw.  Team mode (the
     reference declares ``teamWon`` but never implements it,
     bboard.hpp:556): a team wins when every opponent is dead; ``winner``
     then holds the TEAM id (0 or 1); both teams wiped out is a draw.
+
+    ``max_steps > 0`` additionally ends the game as a draw once
+    ``timestep`` reaches it -- the official Pommerman 800-step rule.  The
+    reference never implements a cap (its demo loops bound steps caller-
+    side), so the default 0 preserves reference semantics; training uses
+    the cap so stalemated boards (e.g. two dodging SimpleAgents) recycle
+    instead of freezing forever.
     """
     if team_mode:
         team = jnp.asarray(TEAM_OF)
@@ -112,6 +120,8 @@ def _detect_terminal(es: EnvState, team_mode: bool = False) -> EnvState:
         # With exactly one survivor any selection rule agrees.
         survivor = jnp.argmax(~es.game.agent_dead).astype(I32)
         draw = alive_n == 0
+    if max_steps:
+        draw = draw | (~won & (es.game.timestep >= max_steps))
     return es._replace(
         done=es.done | won | draw,
         winner=jnp.where(won & ~es.done, survivor, es.winner),
@@ -119,7 +129,8 @@ def _detect_terminal(es: EnvState, team_mode: bool = False) -> EnvState:
     )
 
 
-def env_step(es: EnvState, moves, team_mode: bool = False) -> EnvState:
+def env_step(es: EnvState, moves, team_mode: bool = False,
+             max_steps: int = 0) -> EnvState:
     """One simultaneous step + timeStep advance + terminal detection.
 
     Like ``Environment::Step`` (environment.cpp:123-168), a finished game is
@@ -127,11 +138,12 @@ def env_step(es: EnvState, moves, team_mode: bool = False) -> EnvState:
     """
     game = _step_fn(es.game)(es.game, moves)
     game = game._replace(timestep=game.timestep + 1)
-    nxt = _detect_terminal(es._replace(game=game), team_mode)
+    nxt = _detect_terminal(es._replace(game=game), team_mode, max_steps)
     return jax.tree.map(lambda a, b: jnp.where(es.done, a, b), es, nxt)
 
 
-def env_step_auto_reset(es: EnvState, moves, team_mode: bool = False) -> EnvState:
+def env_step_auto_reset(es: EnvState, moves, team_mode: bool = False,
+                        max_steps: int = 0) -> EnvState:
     """``env_step``, but a game that finished restarts on its next step.
 
     The episode outcome is readable for exactly one step (the step that set
@@ -139,12 +151,13 @@ def env_step_auto_reset(es: EnvState, moves, team_mode: bool = False) -> EnvStat
     """
     engine = "cellular" if isinstance(es.game, CellState) else "exact"
     fresh = _fresh(es.key, engine)
-    stepped = env_step(es, moves, team_mode)
+    stepped = env_step(es, moves, team_mode, max_steps)
     return jax.tree.map(lambda f, s: jnp.where(es.done, f, s), fresh, stepped)
 
 
 def env_step_auto_reset_batch(
-    es: EnvState, moves, team_mode: bool = False, fused: bool = False
+    es: EnvState, moves, team_mode: bool = False, fused: bool = False,
+    max_steps: int = 0
 ) -> EnvState:
     """Batched ``env_step_auto_reset`` over a leading boards axis.
 
@@ -160,7 +173,7 @@ def env_step_auto_reset_batch(
         game = pallas_step(es.game, moves)
         game = game._replace(timestep=game.timestep + 1)
         nxt = jax.vmap(
-            lambda e: _detect_terminal(e, team_mode)
+            lambda e: _detect_terminal(e, team_mode, max_steps)
         )(es._replace(game=game))
         stepped = jax.tree.map(
             lambda a, b: jnp.where(
@@ -176,7 +189,7 @@ def env_step_auto_reset_batch(
             fresh, stepped,
         )
     return jax.vmap(
-        lambda e, m: env_step_auto_reset(e, m, team_mode)
+        lambda e, m: env_step_auto_reset(e, m, team_mode, max_steps)
     )(es, moves)
 
 

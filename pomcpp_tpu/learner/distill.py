@@ -36,6 +36,8 @@ from .ppo import _MODEL, TrainState
 
 class DistillConfig(NamedTuple):
     rollout_len: int = 8
+    max_episode_steps: int = 800  # official Pommerman cap; recycles
+                                  # stalemated boards (see ppo.PPOConfig)
     n_sim: int = 16
     depth: int = 12
     max_tree_depth: int = 6
@@ -109,7 +111,8 @@ def collect_search_rollout(es: EnvState, key, cfg: DistillConfig):
             ks[AGENT_COUNT], logits, axis=-1
         ).astype(I32)                              # [B, 4]
         moves = jnp.where(es.game.agent_dead, 0, moves)
-        es = env_step_auto_reset_batch(es, moves, fused=cfg.fused_env)
+        es = env_step_auto_reset_batch(es, moves, fused=cfg.fused_env,
+                                       max_steps=cfg.max_episode_steps)
         return es, (feats, probs, value_t, weight)
 
     keys = jax.random.split(key, cfg.rollout_len)

@@ -64,6 +64,11 @@ class PPOConfig(NamedTuple):
                              # the standard Pommerman curriculum (train one
                              # learner against the reference SimpleAgent).
     learner_slots: tuple = (0, 1, 2, 3)  # net-controlled agent ids (static)
+    max_episode_steps: int = 800  # official Pommerman step cap (draw);
+                                  # without it a stalemated board (e.g. the
+                                  # learner dead, two SimpleAgents dodging
+                                  # forever) never resets and stops
+                                  # producing training signal.  0 disables.
 
 
 class TrainState(NamedTuple):
@@ -174,7 +179,8 @@ def collect_rollout(params, es: EnvState, cfg: PPOConfig):
         alive_before = ~es.game.agent_dead
         moves = jnp.where(es.game.agent_dead, 0, moves)
         es2 = env_step_auto_reset(
-            es._replace(key=k_next), moves, team_mode=cfg.team_mode
+            es._replace(key=k_next), moves, team_mode=cfg.team_mode,
+            max_steps=cfg.max_episode_steps,
         )
 
         died = alive_before & jnp.where(
@@ -258,6 +264,7 @@ def collect_rollout_batch(params, es: EnvState, cfg: PPOConfig, opp_state=None):
         es2 = env_step_auto_reset_batch(
             es._replace(key=k_next), moves,
             team_mode=cfg.team_mode, fused=cfg.fused_env,
+            max_steps=cfg.max_episode_steps,
         )
         if cfg.opponent == "simple":
             # A board that auto-reset starts its opponents from fresh FSMs.

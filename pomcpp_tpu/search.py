@@ -24,6 +24,9 @@ Three planners:
   engine work runs through the fused Pallas chunk kernel (the benchmark
   throughput path) and the tree ops are gather-free one-hot
   contractions.
+- ``mcts_moves_net``: PUCT guided by the trained actor-critic (priors +
+  value-head leaf evaluation; AlphaZero-style) — the search half of the
+  distill.py <-> search self-improvement loop.
 """
 
 from __future__ import annotations
@@ -212,6 +215,129 @@ def mcts_moves(cs_batch: CellState, agent_id, key, n_sim: int = 24,
         (n_vis, w_sum, _, _), _ = jax.lax.scan(
             simulate,
             (n_vis, w_sum, child, jnp.ones((), I32)),
+            jax.random.split(k, n_sim),
+        )
+        root_q = w_sum[0] / jnp.maximum(n_vis[0].astype(jnp.float32), 1.0)
+        mv = jnp.argmax(n_vis[0]).astype(I32)
+        mv = jnp.where(root.agent_dead[agent_id], 0, mv)
+        return mv, n_vis[0], root_q
+
+    keys = jax.random.split(key, b)
+    return jax.vmap(per_board)(cs_batch, keys)
+
+
+def mcts_moves_net(cs_batch: CellState, agent_id, key, apply_fn, params,
+                   n_sim: int = 32, max_tree_depth: int = 8,
+                   c_puct: float = 1.5):
+    """AlphaZero-style PUCT search guided by the actor-critic net.
+
+    Same open-loop array tree as ``mcts_moves``, but the net replaces both
+    random components: expanded nodes store the policy head's move priors
+    (selection score Q + c_puct * P * sqrt(sum N)/(1 + n), the PUCT rule),
+    and leaf evaluation is the value head instead of a random playout --
+    except terminal leaves, which score exactly (+1 win / -1 dead).  The
+    classic search/learning composition: distill.py teaches the net from
+    search visits, the net then sharpens the search.
+
+    ``apply_fn`` is the actor-critic apply (e.g. ``ppo._MODEL.apply``;
+    passed in so search stays import-independent of the learner); it maps
+    ``(params, feats[H,W,C]) -> (logits[6], value)``.  Not jitted here --
+    wrap the call site (apply_fn is not a valid static jit argument).
+    Returns ``(moves i32[B], root_visits i32[B,6], root_q f32[B,6])``.
+    """
+    from .env.observation import observe_ego
+    from .models.actor_critic import obs_to_features
+
+    b = cs_batch.board.shape[0]
+    max_nodes = n_sim + 1
+
+    def net_eval(cs):
+        logits, value = apply_fn(params, obs_to_features(
+            observe_ego(cs, agent_id)
+        ))
+        # Terminal states score exactly; the net only guesses the rest.
+        dead = cs.agent_dead[agent_id]
+        won = ~dead & (cs.alive_count == 1)
+        value = jnp.where(dead, -1.0, jnp.where(won, 1.0, value))
+        return jax.nn.softmax(logits), value
+
+    def per_board(root: CellState, k):
+        n_vis = jnp.zeros((max_nodes, 6), I32)
+        w_sum = jnp.zeros((max_nodes, 6), jnp.float32)
+        child = jnp.full((max_nodes, 6), -1, I32)
+        prior = jnp.zeros((max_nodes, 6), jnp.float32)
+        prior = prior.at[0].set(net_eval(root)[0])
+
+        def simulate(carry, k):
+            n_vis, w_sum, child, prior, n_used = carry
+            opp_keys = jax.random.split(k, max_tree_depth)
+
+            def sel_step(c, inp):
+                d, ko = inp
+                cs, node, stopped, en, ea, path_n, path_a = c
+                nv = n_vis[node].astype(jnp.float32)
+                q = w_sum[node] / jnp.maximum(nv, 1.0)
+                u = c_puct * prior[node] * (
+                    jnp.sqrt(nv.sum() + 1.0) / (1.0 + nv)
+                )
+                a = jnp.argmax(q + u).astype(I32)
+                path_n = path_n.at[d].set(jnp.where(stopped, -1, node))
+                path_a = path_a.at[d].set(a)
+                others = jax.random.randint(ko, (4,), 0, 6, I32)
+                moves = jnp.where(jnp.arange(4) == agent_id, a, others)
+                moves = jnp.where(cs.agent_dead, 0, moves)
+                cs1 = cellular_step(cs, moves)
+                cs = jax.tree.map(
+                    lambda old, new: jnp.where(stopped, old, new), cs, cs1
+                )
+                nxt = child[node, a]
+                stop_now = (~stopped) & (nxt < 0)
+                en = jnp.where(stop_now, node, en)
+                ea = jnp.where(stop_now, a, ea)
+                node = jnp.where(stopped | stop_now, node, nxt)
+                stopped = stopped | stop_now
+                return (cs, node, stopped, en, ea, path_n, path_a), None
+
+            init = (
+                root, jnp.zeros((), I32), jnp.zeros((), bool),
+                jnp.full((), -1, I32), jnp.zeros((), I32),
+                jnp.zeros((max_tree_depth,), I32),
+                jnp.zeros((max_tree_depth,), I32),
+            )
+            (leaf, _, expanding, en, ea, path_n, path_a), _ = jax.lax.scan(
+                sel_step, init,
+                (jnp.arange(max_tree_depth, dtype=I32), opp_keys),
+            )
+
+            new_idx = n_used
+            child = child.at[en, ea].set(
+                jnp.where(expanding, new_idx, child[en, ea])
+            )
+            leaf_p, value = net_eval(leaf)
+            prior = prior.at[new_idx].set(
+                jnp.where(expanding, leaf_p, prior[new_idx])
+            )
+            n_used = n_used + expanding.astype(I32)
+
+            def backp(c, pe):
+                n_vis, w_sum = c
+                pn, pa = pe
+                valid = pn >= 0
+                pn = jnp.maximum(pn, 0)
+                n_vis = n_vis.at[pn, pa].add(valid.astype(I32))
+                w_sum = w_sum.at[pn, pa].add(
+                    jnp.where(valid, value, 0.0)
+                )
+                return (n_vis, w_sum), None
+
+            (n_vis, w_sum), _ = jax.lax.scan(
+                backp, (n_vis, w_sum), (path_n, path_a)
+            )
+            return (n_vis, w_sum, child, prior, n_used), None
+
+        (n_vis, w_sum, _, _, _), _ = jax.lax.scan(
+            simulate,
+            (n_vis, w_sum, child, prior, jnp.ones((), I32)),
             jax.random.split(k, n_sim),
         )
         root_q = w_sum[0] / jnp.maximum(n_vis[0].astype(jnp.float32), 1.0)

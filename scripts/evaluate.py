@@ -9,8 +9,8 @@ evaluation was watching rendered games).  Thin CLI over
 Usage:
   python scripts/evaluate.py --games 64 --steps 400 \
       --agents simple,simple,random,random [--ckpt build/ppo_ckpt]
-Agent names: random/harmless/lazy/simple/ppo/mcts/lookahead (`ppo` loads
---ckpt; the planners take --mcts-sims/--mcts-depth).
+Agent names: random/harmless/lazy/simple/ppo/mcts/azmcts/lookahead (`ppo`
+and `azmcts` load --ckpt; the planners take --mcts-sims/--mcts-depth).
 """
 
 from __future__ import annotations
@@ -51,7 +51,7 @@ def main() -> None:
     assert len(names) == 4, "--agents needs 4 comma-separated names"
 
     ppo_params = None
-    if "ppo" in names:
+    if "ppo" in names or "azmcts" in names:
         from pomcpp_tpu.learner import ppo_init
         from pomcpp_tpu.utils import restore_checkpoint
 
@@ -60,7 +60,9 @@ def main() -> None:
         ppo_params = ts.params
 
     search_kwargs = None
-    if "mcts" in names:
+    if "azmcts" in names:
+        search_kwargs = {"n_sim": args.mcts_sims}
+    elif "mcts" in names:
         search_kwargs = {"n_sim": args.mcts_sims, "depth": args.mcts_depth}
     elif "lookahead" in names:
         search_kwargs = {"depth": args.mcts_depth}

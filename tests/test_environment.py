@@ -150,3 +150,24 @@ def test_render_smoke():
     out = render_state(es.game, color=False)
     assert " 0 " in out and " 2 " in out
     assert "agent 0" in out
+
+
+def test_max_steps_cap_draws_out_stalemates():
+    """max_steps>0 ends a still-contested game as a draw (official 800-step
+    rule; opt-in — the reference has no cap and the default keeps that)."""
+    import jax.numpy as jnp
+
+    es = env_reset(jax.random.PRNGKey(0), engine="cellular")
+    idle = jnp.zeros((4,), jnp.int32)
+    step_cap = jax.jit(lambda e: env_step(e, idle, max_steps=9))
+    step_ref = jax.jit(lambda e: env_step(e, idle))
+    es_cap, es_ref = es, es
+    for _ in range(11):
+        es_cap = step_cap(es_cap)
+        es_ref = step_ref(es_ref)
+    assert bool(es_cap.done) and bool(es_cap.is_draw)
+    assert int(es_cap.winner) == -1
+    # Frozen after the draw: timestep stops advancing.
+    assert int(es_cap.game.timestep) == 9
+    # Reference semantics (no cap) untouched.
+    assert not bool(es_ref.done) and int(es_ref.game.timestep) == 11

@@ -108,3 +108,31 @@ def test_mcts_pallas_avoids_walking_into_flame():
     assert (root_q[:, M_UP] == 0.0).all(), root_q
     assert (np.asarray(moves) != M_UP).all()
     assert (visits[:, M_UP] < visits.max(axis=1)).all(), visits
+
+
+def test_mcts_net_avoids_walking_into_flame():
+    # PUCT with a FRESH (untrained) net still must not pick certain death:
+    # the UP child's leaf evaluations are the exact terminal -1 (dead),
+    # so its Q pins to -1 while any surviving edge scores higher.
+    from pomcpp_tpu.learner.ppo import _MODEL, ppo_init
+    from pomcpp_tpu.search import mcts_moves_net
+
+    s = empty_state()
+    s = put_agent(s, 0, 2, 0)
+    s = put_agent(s, 10, 10, 1)
+    s = put_agent(s, 0, 10, 2)
+    s = put_agent(s, 10, 0, 3)
+    s = spawn_flame(s, 0, 0, 1)
+    cs = from_state(s)
+    csb = jax.tree.map(lambda x: jnp.broadcast_to(x, (2,) + x.shape), cs)
+
+    params = ppo_init(jax.random.PRNGKey(0)).params
+    moves, visits, root_q = jax.jit(
+        lambda b, k: mcts_moves_net(
+            b, 0, k, _MODEL.apply, params, n_sim=18, max_tree_depth=4
+        )
+    )(csb, jax.random.PRNGKey(1))
+    assert (np.asarray(moves) != M_UP).all()
+    # Every simulation expanded a node and backed a value into the root.
+    assert np.asarray(visits).sum(axis=1).tolist() == [18, 18]
+    assert np.isfinite(np.asarray(root_q)).all()
