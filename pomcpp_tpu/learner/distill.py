@@ -30,7 +30,7 @@ from ..env.environment import EnvState, env_step_auto_reset_batch
 from ..env.observation import DEFAULT_VIEW_RANGE as _VIEW
 from ..env.observation import observe_ego
 from ..models.actor_critic import obs_to_features
-from ..search import mcts_moves_pallas
+from ..search import mcts_moves_net, mcts_moves_pallas
 from .ppo import _MODEL, TrainState
 
 
@@ -48,6 +48,11 @@ class DistillConfig(NamedTuple):
     act_temperature: float = 1.0
     fused_env: bool = True      # step via the fused Pallas kernel
     interpret: bool = False     # interpret-mode kernels (CPU tests)
+    guided: bool = False        # plan with mcts_moves_net (current net's
+                                # priors + value leaves) instead of random
+                                # playouts: the full AlphaZero loop.  Value
+                                # targets then live on the net/terminal
+                                # [-1, 1] scale instead of playout [0, 2].
 
 
 def _optimizer(cfg: DistillConfig):
@@ -76,7 +81,8 @@ def _all_agent_feats(game):
     return jax.vmap(per_board)(game)
 
 
-def collect_search_rollout(es: EnvState, key, cfg: DistillConfig):
+def collect_search_rollout(es: EnvState, key, cfg: DistillConfig,
+                           params=None):
     """Roll ``rollout_len`` steps, planning with MCTS for all 4 agents.
 
     Returns ``(es', feats [T,B,4,F], probs [T,B,4,6], value_t [T,B,4],
@@ -87,14 +93,24 @@ def collect_search_rollout(es: EnvState, key, cfg: DistillConfig):
 
     def body(es, k):
         ks = jax.random.split(k, AGENT_COUNT + 1)
-        res = [
-            mcts_moves_pallas(
-                es.game, jnp.asarray(a, I32), ks[a], n_sim=cfg.n_sim,
-                depth=cfg.depth, max_tree_depth=cfg.max_tree_depth,
-                interpret=cfg.interpret,
-            )
-            for a in range(AGENT_COUNT)
-        ]
+        if cfg.guided:
+            res = [
+                mcts_moves_net(
+                    es.game, jnp.asarray(a, I32), ks[a], _MODEL.apply,
+                    params, n_sim=cfg.n_sim,
+                    max_tree_depth=cfg.max_tree_depth,
+                )
+                for a in range(AGENT_COUNT)
+            ]
+        else:
+            res = [
+                mcts_moves_pallas(
+                    es.game, jnp.asarray(a, I32), ks[a], n_sim=cfg.n_sim,
+                    depth=cfg.depth, max_tree_depth=cfg.max_tree_depth,
+                    interpret=cfg.interpret,
+                )
+                for a in range(AGENT_COUNT)
+            ]
         visits = jnp.stack(
             [r[1] for r in res], axis=1
         ).astype(jnp.float32)                      # [B, 4, 6]
@@ -147,7 +163,7 @@ def az_train_step(ts: TrainState, es: EnvState, cfg: DistillConfig):
     """One distillation iteration: search rollout + minibatched SGD."""
     key, k_roll, k_perm = jax.random.split(ts.key, 3)
     es, feats, probs, value_t, weight = collect_search_rollout(
-        es, k_roll, cfg
+        es, k_roll, cfg, ts.params
     )
 
     def flat(x):

@@ -38,6 +38,11 @@ def main() -> None:
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--ckpt-dir", type=str, default="")
     p.add_argument("--cpu", action="store_true")
+    p.add_argument("--guided", action="store_true",
+                   help="net-guided PUCT targets (mcts_moves_net) instead "
+                        "of random playouts -- full AlphaZero loop")
+    p.add_argument("--resume", type=str, default="",
+                   help="checkpoint dir to warm-start params from")
     args = p.parse_args()
     if args.cpu:
         jax.config.update("jax_platforms", "cpu")
@@ -54,9 +59,14 @@ def main() -> None:
     cfg = DistillConfig(
         rollout_len=args.rollout, n_sim=args.sims, depth=args.depth,
         max_tree_depth=args.tree_depth, lr=args.lr, fused_env=fused,
-        interpret=args.cpu,
+        interpret=args.cpu, guided=args.guided,
     )
     ts = distill_init(jax.random.PRNGKey(args.seed), cfg)
+    if args.resume:
+        from pomcpp_tpu.utils import restore_checkpoint
+
+        ts = restore_checkpoint(args.resume, ts)
+        print(f"warm-started params from {args.resume}")
     es = jax.vmap(lambda k: env_reset(k, engine="cellular"))(
         jax.random.split(jax.random.PRNGKey(args.seed + 1), args.batch)
     )

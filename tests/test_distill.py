@@ -54,3 +54,22 @@ def test_az_train_step_updates_params():
         for a, b in zip(jax.tree.leaves(ts.params), jax.tree.leaves(ts2.params))
     )
     assert diff > 0
+
+
+def test_guided_train_step_runs():
+    """AlphaZero mode: net-guided PUCT targets, tiny CPU shapes."""
+    import numpy as np
+
+    cfg = DistillConfig(
+        rollout_len=2, n_sim=4, max_tree_depth=3, num_minibatches=2,
+        fused_env=False, guided=True,
+    )
+    ts = distill_init(jax.random.PRNGKey(0), cfg)
+    es = jax.vmap(lambda k: env_reset(k, engine="cellular"))(
+        jax.random.split(jax.random.PRNGKey(1), 4)
+    )
+    ts, es, metrics = az_train_step(ts, es, cfg)
+    assert int(ts.update_count) == 1
+    assert np.isfinite(float(metrics["loss"]))
+    # Guided value targets live on the [-1, 1] net/terminal scale.
+    assert -1.001 <= float(metrics["v_loss"]) < 10.0
