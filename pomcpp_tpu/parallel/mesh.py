@@ -37,14 +37,20 @@ def boards_mesh(devices: Sequence[jax.Device] | None = None) -> Mesh:
     return Mesh(np.asarray(devices), (BOARDS_AXIS,))
 
 
-def shard_env_batch(es: EnvState, mesh: Mesh) -> EnvState:
-    """Place a batched EnvState with its leading axis sharded over the mesh."""
+def shard_batch(tree, mesh: Mesh):
+    """Shard any batched pytree's leading axis over the ``boards`` mesh
+    (EnvState, opponent FSM state, rollout buffers, ...)."""
 
     def put(x):
         spec = P(BOARDS_AXIS, *([None] * (x.ndim - 1)))
         return jax.device_put(x, NamedSharding(mesh, spec))
 
-    return jax.tree.map(put, es)
+    return jax.tree.map(put, tree)
+
+
+def shard_env_batch(es: EnvState, mesh: Mesh) -> EnvState:
+    """Place a batched EnvState with its leading axis sharded over the mesh."""
+    return shard_batch(es, mesh)
 
 
 def sharded_rollout(

@@ -56,7 +56,8 @@ def main() -> None:
 
     from pomcpp_tpu.env import env_reset
     from pomcpp_tpu.learner import PPOConfig, ppo_init, ppo_train_step
-    from pomcpp_tpu.parallel import boards_mesh, shard_env_batch
+    from pomcpp_tpu.parallel import (boards_mesh, shard_batch,
+                                     shard_env_batch)
     from pomcpp_tpu.utils import restore_checkpoint, save_checkpoint
 
     cfg = PPOConfig(rollout_len=args.rollout, lr=args.lr, team_mode=args.team,
@@ -82,6 +83,8 @@ def main() -> None:
         from pomcpp_tpu.learner.ppo import opponent_state_init
 
         opp = opponent_state_init(args.batch)
+        if args.batch % len(jax.devices()) == 0:
+            opp = shard_batch(opp, mesh)
         step = jax.jit(
             lambda ts, es, opp: ppo_train_step(ts, es, cfg, opp)
         )

@@ -46,3 +46,29 @@ def test_graft_entry_dryrun():
     out = jax.jit(fn)(*args)
     jax.block_until_ready(out)
     ge.dryrun_multichip(min(8, len(jax.devices())))
+
+
+@pytest.mark.skipif(len(jax.devices()) < 8, reason="needs 8 virtual devices")
+def test_opponent_curriculum_train_step_sharded():
+    """PPO-vs-SimpleAgent train step over the 8-device boards mesh: the
+    opponent FSM state shards alongside the env and the update is finite."""
+    from pomcpp_tpu.learner import PPOConfig, ppo_init, ppo_train_step
+    from pomcpp_tpu.learner.ppo import opponent_state_init
+    from pomcpp_tpu.parallel import shard_batch
+
+    cfg = PPOConfig(rollout_len=2, epochs=1, minibatches=2,
+                    opponent="simple", learner_slots=(0,))
+    ts = ppo_init(jax.random.PRNGKey(0), cfg)
+    batch = 16
+    es = jax.vmap(lambda k: env_reset(k, engine="cellular"))(
+        jax.random.split(jax.random.PRNGKey(1), batch)
+    )
+    mesh = boards_mesh()
+    es = shard_env_batch(es, mesh)
+    opp = shard_batch(opponent_state_init(batch), mesh)
+
+    step = jax.jit(lambda ts, es, opp: ppo_train_step(ts, es, cfg, opp))
+    ts2, es2, metrics, opp2 = step(ts, es, opp)
+    assert int(ts2.update_count) == 1
+    assert np.isfinite(float(metrics["loss"]))
+    assert len({s.device for s in opp2.rp_x.addressable_shards}) == 8
