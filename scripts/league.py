@@ -5,7 +5,8 @@ games, ratings table.
 Usage:
   python scripts/league.py --roster simple,random,harmless,lazy \
       --rounds 6 --games 32 --steps 300 [--ckpt build/ppo_ckpt] [--cpu]
-Include ``ppo`` in the roster to rate a trained checkpoint.
+Include ``ppo`` (raw net) or ``azmcts`` (net-guided PUCT) in the roster
+to rate a trained checkpoint.
 """
 
 from __future__ import annotations
@@ -39,7 +40,7 @@ def main() -> None:
 
     roster = args.roster.split(",")
     ppo_params = None
-    if "ppo" in roster:
+    if "ppo" in roster or "azmcts" in roster:
         from pomcpp_tpu.learner import ppo_init
         from pomcpp_tpu.utils import restore_checkpoint
 
