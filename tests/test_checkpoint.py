@@ -96,3 +96,25 @@ print("ORBAX_OK")
     if r.returncode != 0:
         pytest.skip(f"orbax backend unavailable: {r.stderr[-300:]}")
     assert "ORBAX_OK" in r.stdout
+
+
+def test_artifact_checkpoint_matches_model_template():
+    """The checked-in trained weights (artifacts/ppo_vs_simple/) restore
+    into the current ActorCritic template -- guards model/artifact drift."""
+    import os
+
+    import jax
+    import numpy as np
+
+    from pomcpp_tpu.learner import ppo_init
+    from pomcpp_tpu.utils import restore_checkpoint
+
+    art = os.path.join(
+        os.path.dirname(__file__), "..", "artifacts", "ppo_vs_simple"
+    )
+    ts = restore_checkpoint(art, ppo_init(jax.random.PRNGKey(0)))
+    assert int(ts.update_count) == 2000
+    assert all(
+        np.isfinite(np.asarray(leaf)).all()
+        for leaf in jax.tree.leaves(ts.params)
+    )
