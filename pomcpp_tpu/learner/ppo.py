@@ -69,6 +69,12 @@ class PPOConfig(NamedTuple):
                                   # learner dead, two SimpleAgents dodging
                                   # forever) never resets and stops
                                   # producing training signal.  0 disables.
+    draw_penalty: float = 0.0     # reward subtracted from agents still
+                                  # alive when an episode ends with no
+                                  # winner (step-cap timeout): surviving a
+                                  # stalemate is NOT a win, and without
+                                  # this the policy happily dances out the
+                                  # clock (~16% of eval games timed out).
 
 
 class TrainState(NamedTuple):
@@ -199,6 +205,12 @@ def collect_rollout(params, es: EnvState, cfg: PPOConfig):
                 & alive_before
             )
         reward = won.astype(jnp.float32) - died.astype(jnp.float32)
+        if cfg.draw_penalty:
+            drew = (
+                es2.done & ~es.done & (es2.winner < 0)
+                & alive_before & ~es2.game.agent_dead
+            )
+            reward = reward - cfg.draw_penalty * drew.astype(jnp.float32)
         tr = Transition(
             feats=feats.reshape(AGENT_COUNT, -1),
             move=moves,
@@ -285,6 +297,12 @@ def collect_rollout_batch(params, es: EnvState, cfg: PPOConfig, opp_state=None):
             team = jnp.arange(AGENT_COUNT)[None]
         won = new_done & (team == es2.winner[:, None]) & alive_before
         reward = won.astype(jnp.float32) - died.astype(jnp.float32)
+        if cfg.draw_penalty:
+            drew = (
+                new_done & (es2.winner[:, None] < 0)
+                & alive_before & ~es2.game.agent_dead
+            )
+            reward = reward - cfg.draw_penalty * drew.astype(jnp.float32)
         tr = Transition(
             feats=feats.reshape(feats.shape[0], len(slots), -1),
             move=moves[:, sl],

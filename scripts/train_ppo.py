@@ -46,6 +46,9 @@ def main() -> None:
     p.add_argument("--fused", action="store_true",
                    help="step rollouts through the fused Pallas kernel "
                         "(TPU; batch %% 256 == 0)")
+    p.add_argument("--draw-penalty", type=float, default=0.0,
+                   help="reward subtracted from survivors of a step-cap "
+                        "draw (discourages running out the clock)")
     p.add_argument("--opponent", type=str, default="",
                    help="scripted policy (random/harmless/lazy/simple) for "
                         "the slots NOT in --learner-slots; '' = self-play")
@@ -62,6 +65,7 @@ def main() -> None:
 
     cfg = PPOConfig(rollout_len=args.rollout, lr=args.lr, team_mode=args.team,
                     fused_env=args.fused, epochs=args.epochs,
+                    draw_penalty=args.draw_penalty,
                     opponent=args.opponent,
                     learner_slots=tuple(
                         int(s) for s in args.learner_slots.split(",")

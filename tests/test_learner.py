@@ -181,3 +181,48 @@ def test_opponent_simple_train_step_runs():
     assert np.isfinite(float(metrics["loss"]))
     # The FSM state advanced (recent-position ring counts grow from 0).
     assert np.asarray(opp.rp_count).sum() > 0
+
+
+def test_draw_penalty_on_step_cap_timeout():
+    """A step-cap draw pays -draw_penalty to surviving learners, exactly on
+    the episode-boundary step, in both rollout collectors."""
+    from pomcpp_tpu.learner.ppo import collect_rollout, collect_rollout_batch
+
+    base = dict(rollout_len=8, epochs=1, minibatches=2,
+                opponent="lazy", learner_slots=(0,), max_episode_steps=3)
+    cfg = PPOConfig(draw_penalty=0.5, **base)
+    ts = ppo_init(jax.random.PRNGKey(0), cfg)
+    es = jax.vmap(lambda k: env_reset(k, engine="cellular"))(
+        jax.random.split(jax.random.PRNGKey(7), 4)
+    )
+    _, traj, _, _ = jax.jit(
+        lambda e: collect_rollout_batch(ts.params, e, cfg)
+    )(es)
+    done = np.asarray(traj.done)          # [B, T]
+    valid = np.asarray(traj.valid)
+    alive = np.asarray(traj.alive[..., 0])
+    reward = np.asarray(traj.reward[..., 0])
+    boundary = done & valid & alive       # cap fires with everyone alive
+    assert boundary.any(), "no episode hit the 3-step cap"
+    assert np.all(reward[boundary] == -0.5)
+    assert np.all(reward[~boundary] == 0.0)
+
+    # Zero penalty (default): identical setup pays nothing on the draw.
+    cfg0 = PPOConfig(draw_penalty=0.0, **base)
+    _, traj0, _, _ = jax.jit(
+        lambda e: collect_rollout_batch(ts.params, e, cfg0)
+    )(es)
+    assert np.all(np.asarray(traj0.reward) == 0.0)
+
+    # The vmapped single-board collector applies the same penalty (self-play
+    # config: it has no opponent plumbing).
+    cfgv = PPOConfig(rollout_len=8, epochs=1, minibatches=2,
+                     max_episode_steps=3, draw_penalty=0.25)
+    _, trajv, _ = jax.jit(
+        jax.vmap(lambda e: collect_rollout(ts.params, e, cfgv))
+    )(es)
+    rv = np.asarray(trajv.reward)
+    bv = (np.asarray(trajv.done) & np.asarray(trajv.valid))[..., None] \
+        & np.asarray(trajv.alive)
+    assert bv.any()
+    assert np.all(rv[bv] == -0.25)
