@@ -244,6 +244,14 @@ def main() -> None:
         out["simple_agent_vs_baseline"] = round(
             simple_sps / BASELINE_STEPS_PER_S, 3
         )
+        # The published 5.86M is the CHEAP-policy (HarmlessAgent) config
+        # (README.md:99); the reference's own SimpleAgent throughput on
+        # THIS host is ref_same_host_simple_steps_per_s -- that ratio
+        # (simple_agent_vs_ref_same_host) is the like-for-like one.
+        out["simple_agent_vs_baseline_note"] = (
+            "denominator is the cheap-policy published figure; see "
+            "simple_agent_vs_ref_same_host for like-for-like"
+        )
     ref = _ref_same_host()
     out.update(ref)
     if "ref_same_host_harmless_steps_per_s" in ref:
