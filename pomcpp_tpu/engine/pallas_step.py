@@ -749,7 +749,8 @@ def _fresh_boards(block):
 
 def _chunk_kernel(seed_ref, *refs, steps: int, n_moves: int = 6,
                   inject: bool = False, record: bool = False,
-                  auto_reset: bool = True):
+                  auto_reset: bool = True, inject_slots: tuple = (),
+                  prng_rand: bool = False):
     """K fused steps with in-kernel random-agent moves and auto-reset.
 
     State stays in VMEM across all ``steps``; HBM sees one read and one
@@ -768,6 +769,15 @@ def _chunk_kernel(seed_ref, *refs, steps: int, n_moves: int = 6,
     (engine/pallas_fsm.py); it carries 10 extra [block,4] state arrays
     (ring slots x4, ring head, ring count, moveQueue slots x4) as
     additional in/out refs right after the 14 game-state refs.
+
+    ``inject_slots`` (simple mode only) makes the injected moves input a
+    per-slot OVERRIDE: the FSM drives every agent as usual, then lanes in
+    ``inject_slots`` take their move from the input instead -- the
+    mixed-control mode (externally-policied learner vs in-kernel
+    SimpleAgent opponents) the PPO curriculum trains in.  The FSM's rand
+    draws then come from the in-kernel PRNG when ``prng_rand`` is set
+    (production) or from the non-override lanes of the same input
+    (interpret-compatible tests).
     """
     simple = n_moves < 0
     n_fsm = 10 if simple else 0
@@ -778,14 +788,14 @@ def _chunk_kernel(seed_ref, *refs, steps: int, n_moves: int = 6,
     state_out = out_refs[:14 + n_fsm]
     rec_refs = out_refs[14 + n_fsm:] if record else ()
     block = state_in[0].shape[0]
-    if not inject or auto_reset:
+    if not inject or auto_reset or prng_rand:
         # Auto-reset's board regeneration draws from the PRNG even when
         # the move stream is injected; interpret mode (which lacks
         # prng_seed) uses inject + auto_reset=False.
         pltpu.prng_seed(seed_ref[0], pl.program_id(0))
 
     def body(i, carry):
-        if inject:
+        if inject and not prng_rand:
             drawn = moves_in[pl.dslice(i, 1), :, :][0]
         else:
             bits = pltpu.prng_random_bits((block, LANES))
@@ -803,6 +813,16 @@ def _chunk_kernel(seed_ref, *refs, steps: int, n_moves: int = 6,
                 adead, drawn,
                 list(fsm[0:4]), fsm[4], fsm[5], list(fsm[6:10]),
             )
+            if inject_slots:
+                ov = moves_in[pl.dslice(i, 1), :, :][0]
+                lane = jax.lax.broadcasted_iota(I32, (block, 4), 1)
+                is_ov = functools.reduce(
+                    lambda a, b: a | b,
+                    [lane == s for s in inject_slots],
+                )
+                # Blend bitwise: `where` over mixed provenance i32 is fine,
+                # but keep the FSM's value for non-override lanes exactly.
+                moves = jnp.where(is_ov, ov, moves)
             moves = jnp.where(adead != 0, 0, moves)
             fsm_new = tuple(rp2) + (rph2, rpc2) + tuple(mq2)
         else:
@@ -846,7 +866,8 @@ def _chunk_kernel(seed_ref, *refs, steps: int, n_moves: int = 6,
 
 @functools.partial(
     jax.jit,
-    static_argnames=("steps", "interpret", "policy", "record", "auto_reset"),
+    static_argnames=("steps", "interpret", "policy", "record", "auto_reset",
+                     "inject_slots", "prng_rand"),
 )
 def pallas_rollout_chunk(cs: CellState, seed, steps: int = 64,
                          interpret: bool = False,
@@ -854,7 +875,9 @@ def pallas_rollout_chunk(cs: CellState, seed, steps: int = 64,
                          moves=None,
                          record: bool = False,
                          auto_reset: bool = True,
-                         fsm_state=None):
+                         fsm_state=None,
+                         inject_slots: tuple = (),
+                         prng_rand: bool = False):
     """Run ``steps`` random-policy auto-reset env steps in ONE kernel call.
 
     The throughput path for scripted/random self-play: per chunk the plane
@@ -875,6 +898,14 @@ def pallas_rollout_chunk(cs: CellState, seed, steps: int = 64,
     arrays, e.g. ``simple_fsm_state_init(b)``; ``moves`` then injects the
     per-agent rand stream) and the result gains a trailing fsm_state
     output: ``(CellState, fsm_state')`` (+ record outputs in between).
+
+    ``inject_slots`` (simple mode, needs ``moves``): mixed control -- the
+    FSM drives every slot except those listed, which execute the moves
+    input verbatim (the PPO-learner-vs-SimpleAgent configuration, one
+    kernel launch per env step).  ``prng_rand=True`` sources the FSM's
+    rand draws from the in-kernel PRNG (production; otherwise the
+    non-override lanes of ``moves`` supply them, which is what
+    interpret-mode tests use).
     """
     b = cs.board.shape[0]
     assert b % CHUNK_BLOCK == 0 or b < CHUNK_BLOCK, (
@@ -919,6 +950,11 @@ def pallas_rollout_chunk(cs: CellState, seed, steps: int = 64,
         assert fsm_state is not None and len(fsm_state) == 10, (
             "policy='simple' needs fsm_state (see simple_fsm_state_init)"
         )
+    if inject_slots:
+        assert simple and inject, (
+            "inject_slots is the mixed-control mode: needs policy='simple' "
+            "and a moves input carrying the override lanes"
+        )
     in_specs = [plane_spec] * 7 + [agent_spec] * (7 + n_fsm)
     fsm_in = tuple(jnp.asarray(f, I32) for f in (fsm_state or ()))
     extra_in = ()
@@ -947,6 +983,7 @@ def pallas_rollout_chunk(cs: CellState, seed, steps: int = 64,
         functools.partial(
             _chunk_kernel, steps=steps, n_moves=n_moves,
             inject=inject, record=record, auto_reset=auto_reset,
+            inject_slots=tuple(inject_slots), prng_rand=prng_rand,
         ),
         grid_spec=grid_spec,
         out_shape=out_shape,

@@ -193,6 +193,56 @@ def env_step_auto_reset_batch(
     )(es, moves)
 
 
+def env_step_auto_reset_batch_fsm(
+    es: EnvState, learner_moves, fsm_state, learner_slots: tuple,
+    seed, team_mode: bool = False, max_steps: int = 0,
+    interpret: bool = False, rand_moves=None,
+):
+    """Fused mixed-control step: in-kernel SimpleAgent opponents + injected
+    learner moves, ONE Pallas launch for the whole batch.
+
+    Same env semantics as ``env_step_auto_reset_batch`` but the non-learner
+    slots act via the in-kernel FSM (engine/pallas_fsm.py) instead of a
+    host-side policy pass -- the XLA FSM opponents were the PPO
+    curriculum's rollout bottleneck.  ``fsm_state`` is the kernel 10-tuple
+    (``simple_fsm_state_init``); ``seed`` (i32) feeds the kernel PRNG for
+    the FSM's rand draws and must differ per step.  ``rand_moves``
+    ([B, 4], tests only) supplies those draws explicitly instead
+    (interpret-compatible; learner lanes of the merged input are the
+    override moves either way).  Returns ``(EnvState, fsm_state')``;
+    the caller owns resetting ``fsm_state`` rows of finished boards.
+    """
+    from ..engine.pallas_step import pallas_rollout_chunk
+
+    slots = tuple(learner_slots)
+    mv = learner_moves if rand_moves is None else jnp.where(
+        jnp.isin(jnp.arange(AGENT_COUNT), jnp.asarray(slots)),
+        learner_moves, rand_moves,
+    )
+    game, fsm2 = pallas_rollout_chunk(
+        es.game, seed, steps=1, policy="simple", moves=mv[None],
+        auto_reset=False, fsm_state=fsm_state, inject_slots=slots,
+        prng_rand=rand_moves is None, interpret=interpret,
+    )
+    nxt = jax.vmap(
+        lambda e: _detect_terminal(e, team_mode, max_steps)
+    )(es._replace(game=game))
+    stepped = jax.tree.map(
+        lambda a, b: jnp.where(
+            es.done.reshape((-1,) + (1,) * (a.ndim - 1)), a, b
+        ),
+        es, nxt,
+    )
+    fresh = jax.vmap(lambda k: _fresh(k, "cellular"))(es.key)
+    out = jax.tree.map(
+        lambda f, s: jnp.where(
+            es.done.reshape((-1,) + (1,) * (f.ndim - 1)), f, s
+        ),
+        fresh, stepped,
+    )
+    return out, fsm2
+
+
 def act_all(policy: Policy, key: jax.Array, game: State) -> jax.Array:
     """Evaluate one policy for all four agents -> i32[4] moves.
 

@@ -129,12 +129,19 @@ def _policy_all_agents(params, game, key):
     return _policy_slots(params, game, key, tuple(range(AGENT_COUNT)))
 
 
-def opponent_state_init(batch: int):
+def opponent_state_init(batch: int, cfg: "PPOConfig | None" = None):
     """Fresh per-board scripted-opponent FSM state ([B, 4, ...] pytree).
 
     Only the SimpleAgent opponent is stateful; the same pytree is threaded
     (and ignored) for the stateless ones so carriers have a fixed structure.
+    With ``cfg.fused_env`` and a simple opponent the FSM runs INSIDE the
+    fused kernel (engine/pallas_fsm.py), whose state is the kernel 10-tuple
+    instead of the XLA toolkit pytree.
     """
+    if cfg is not None and cfg.fused_env and cfg.opponent == "simple":
+        from ..engine.pallas_step import simple_fsm_state_init
+
+        return simple_fsm_state_init(batch)
     st = simple_agent_init_batch()
     return jax.tree.map(
         lambda x: jnp.broadcast_to(x, (batch,) + x.shape), st
@@ -166,6 +173,8 @@ class Transition(NamedTuple):
     reward: jax.Array   # f32[4]
     alive: jax.Array    # bool[4] agent was alive when acting
     done: jax.Array     # bool    episode boundary after this step
+    draw: jax.Array     # bool    that boundary ended with no winner
+                        #         (step-cap timeout or mutual destruction)
     valid: jax.Array    # bool    False for the frozen post-terminal step that
                         #         auto-reset replaces (its feats/reward are
                         #         junk; excluded from loss and GAE bootstraps)
@@ -219,6 +228,7 @@ def collect_rollout(params, es: EnvState, cfg: PPOConfig):
             reward=reward,
             alive=alive_before,
             done=es2.done & ~es.done,
+            draw=es2.done & ~es.done & (es2.winner < 0),
             valid=~es.done,
         )
         return es2, tr
@@ -264,23 +274,42 @@ def collect_rollout_batch(params, es: EnvState, cfg: PPOConfig, opp_state=None):
             lambda k, g: _policy_slots(params, g, k, slots)
         )(k_act, es.game)
         alive_before = ~es.game.agent_dead
-        if cfg.opponent:
-            moves, opp = _opponent_moves_batch(
-                cfg.opponent, k_opp, es.game, opp
-            )
+        if cfg.opponent == "simple" and cfg.fused_env:
+            # Mixed-control fused step: the SimpleAgent opponents run
+            # INSIDE the kernel (the XLA FSM pass was the rollout
+            # bottleneck); only the learner lanes are injected.
+            from ..env.environment import env_step_auto_reset_batch_fsm
+
+            moves = jnp.zeros_like(es.game.agent_x)
             for i, s in enumerate(slots):
                 moves = moves.at[:, s].set(moves_l[:, i])
+            moves = jnp.where(es.game.agent_dead, 0, moves)
+            seed = jax.random.randint(
+                k_opp[0], (), 0, jnp.iinfo(jnp.int32).max, I32
+            )
+            es2, opp = env_step_auto_reset_batch_fsm(
+                es._replace(key=k_next), moves, opp, slots, seed,
+                team_mode=cfg.team_mode,
+                max_steps=cfg.max_episode_steps,
+            )
         else:
-            moves = moves_l
-        moves = jnp.where(es.game.agent_dead, 0, moves)
-        es2 = env_step_auto_reset_batch(
-            es._replace(key=k_next), moves,
-            team_mode=cfg.team_mode, fused=cfg.fused_env,
-            max_steps=cfg.max_episode_steps,
-        )
+            if cfg.opponent:
+                moves, opp = _opponent_moves_batch(
+                    cfg.opponent, k_opp, es.game, opp
+                )
+                for i, s in enumerate(slots):
+                    moves = moves.at[:, s].set(moves_l[:, i])
+            else:
+                moves = moves_l
+            moves = jnp.where(es.game.agent_dead, 0, moves)
+            es2 = env_step_auto_reset_batch(
+                es._replace(key=k_next), moves,
+                team_mode=cfg.team_mode, fused=cfg.fused_env,
+                max_steps=cfg.max_episode_steps,
+            )
         if cfg.opponent == "simple":
             # A board that auto-reset starts its opponents from fresh FSMs.
-            fresh = opponent_state_init(es.done.shape[0])
+            fresh = opponent_state_init(es.done.shape[0], cfg)
             opp = jax.tree.map(
                 lambda f, o: jnp.where(
                     es.done.reshape((-1,) + (1,) * (o.ndim - 1)), f, o
@@ -311,6 +340,7 @@ def collect_rollout_batch(params, es: EnvState, cfg: PPOConfig, opp_state=None):
             reward=reward[:, sl],
             alive=alive_before[:, sl],
             done=es2.done & ~es.done,
+            draw=es2.done & ~es.done & (es2.winner < 0),
             valid=~es.done,
         )
         return (es2, opp), tr
@@ -439,7 +469,7 @@ def ppo_train_step(ts: TrainState, es_batch: EnvState, cfg: PPOConfig = PPOConfi
     opp_final = None
     if cfg.opponent:
         if opp_state is None and cfg.opponent == "simple":
-            opp_state = opponent_state_init(es_batch.done.shape[0])
+            opp_state = opponent_state_init(es_batch.done.shape[0], cfg)
         es_final, traj, boot, opp_final = collect_rollout_batch(
             ts.params, es_batch, cfg, opp_state
         )
@@ -468,6 +498,7 @@ def ppo_train_step(ts: TrainState, es_batch: EnvState, cfg: PPOConfig = PPOConfi
         traj.done.sum(), 1
     )
     metrics["episodes"] = traj.done.sum()
+    metrics["draws"] = traj.draw.sum()
     if cfg.opponent:
         return ts, es_final, metrics, opp_final
     return ts, es_final, metrics

@@ -46,6 +46,10 @@ def main() -> None:
     p.add_argument("--fused", action="store_true",
                    help="step rollouts through the fused Pallas kernel "
                         "(TPU; batch %% 256 == 0)")
+    p.add_argument("--cpu", action="store_true",
+                   help="force the CPU backend (the shell's JAX_PLATFORMS "
+                        "pin overrides the env var; only the in-process "
+                        "config update works)")
     p.add_argument("--draw-penalty", type=float, default=0.0,
                    help="reward subtracted from survivors of a step-cap "
                         "draw (discourages running out the clock)")
@@ -56,6 +60,8 @@ def main() -> None:
                    help="comma-separated net-controlled agent ids "
                         "(only with --opponent)")
     args = p.parse_args()
+    if args.cpu:
+        jax.config.update("jax_platforms", "cpu")
 
     from pomcpp_tpu.env import env_reset
     from pomcpp_tpu.learner import PPOConfig, ppo_init, ppo_train_step
@@ -86,7 +92,7 @@ def main() -> None:
     if args.opponent:
         from pomcpp_tpu.learner.ppo import opponent_state_init
 
-        opp = opponent_state_init(args.batch)
+        opp = opponent_state_init(args.batch, cfg)
         if args.batch % len(jax.devices()) == 0:
             opp = shard_batch(opp, mesh)
         step = jax.jit(

@@ -30,6 +30,7 @@ def test_gae_matches_reference_impl():
         reward=jnp.asarray(rewards),
         alive=jnp.ones((T, 4), bool),
         done=jnp.asarray(dones[:, 0] > 0.5),
+        draw=jnp.zeros((T,), bool),
         valid=jnp.ones((T,), bool),
     )
     adv, ret = compute_gae(tr, jnp.asarray(boot), cfg)

@@ -114,3 +114,55 @@ def test_fsm_kernel_dead_agent_stale_sources():
             f"step {t}: kernel {mrec[t]} vs cellular {np.asarray(mv)}"
         )
         cs = step_v(cs, mv)
+
+
+def test_mixed_control_env_step_matches_xla_composition():
+    """env_step_auto_reset_batch_fsm (in-kernel FSM opponents + injected
+    learner moves, interpret mode) == XLA composition: toolkit-FSM moves
+    for opponent lanes, the injected move for the learner lane, stepped
+    through env_step_auto_reset_batch."""
+    from pomcpp_tpu.env import env_reset
+    from pomcpp_tpu.env.environment import (
+        env_step_auto_reset_batch,
+        env_step_auto_reset_batch_fsm,
+    )
+
+    steps, b, slots = 8, 4, (0,)
+    keys = jax.random.split(jax.random.PRNGKey(11), b)
+    es = jax.vmap(lambda k: env_reset(k, engine="cellular"))(keys)
+    rng = np.random.RandomState(211)
+    rands = jnp.asarray(rng.randint(0, 5, size=(steps, b, 4)), jnp.int32)
+    learner = jnp.asarray(rng.randint(0, 6, size=(steps, b, 4)), jnp.int32)
+
+    # Kernel side.
+    es_k = es
+    fsm = simple_fsm_state_init(b)
+    for t in range(steps):
+        es_k, fsm = env_step_auto_reset_batch_fsm(
+            es_k, learner[t], fsm, slots, 0,
+            interpret=True, rand_moves=rands[t],
+        )
+
+    # XLA side: same rand stream through the toolkit FSM, learner lane
+    # overridden, stepped through the plain batched env step.
+    joint_v = jax.jit(jax.vmap(_joint_with_rands))
+    ast0 = jax.tree.map(
+        lambda x: jnp.broadcast_to(x, (b, 4) + x.shape), simple_agent_init()
+    )
+    es_x, asts = es, ast0
+    lane = jnp.arange(4)
+    for t in range(steps):
+        mv, asts = joint_v(es_x.game, asts, rands[t])
+        mv = jnp.where(lane[None] == slots[0], learner[t], mv)
+        mv = jnp.where(es_x.game.agent_dead, 0, mv).astype(jnp.int32)
+        es_x = env_step_auto_reset_batch(es_x, mv)
+
+    assert not bool(np.asarray(es_k.done).any())  # no episode in 8 steps
+    for name in CellState._fields:
+        a = np.asarray(getattr(es_k.game, name))
+        bb = np.asarray(getattr(es_x.game, name))
+        assert np.array_equal(a, bb), f"game field {name} differs"
+    for name in ("done", "winner", "is_draw"):
+        assert np.array_equal(
+            np.asarray(getattr(es_k, name)), np.asarray(getattr(es_x, name))
+        )

@@ -38,8 +38,8 @@ def _run(args, timeout):
 def test_train_team_then_evaluate_team_winrates():
     ckpt = tempfile.mkdtemp()
     out = _run(
-        ["scripts/train_ppo.py", "--team", "--batch", "4", "--iters", "2",
-         "--rollout", "8", "--ckpt-dir", ckpt],
+        ["scripts/train_ppo.py", "--team", "--cpu", "--batch", "4",
+         "--iters", "2", "--rollout", "8", "--ckpt-dir", ckpt],
         timeout=600,
     )
     # Train emits one JSON metrics line per iteration.
