@@ -79,6 +79,25 @@ def phase_tpu() -> int:
     save["srec"] = np.asarray(srec)
     save["sdrec"] = np.asarray(sdrec)
 
+    # Mixed-control mode (the PPO curriculum's kernel config): lane 0 is an
+    # injected "learner" stream (inject_slots), lanes 1-3 act via the
+    # in-kernel FSM whose rand draws come from the same input's non-override
+    # lanes (prng_rand=False so the CPU replay can reproduce them).
+    mrng = np.random.RandomState(777)
+    merged = mrng.randint(0, 5, size=(STEPS, B, 4)).astype(np.int32)
+    merged[:, :, 0] = mrng.randint(0, 6, size=(STEPS, B)).astype(np.int32)
+    mout, mxrec, mxdrec, _ = pallas_rollout_chunk(
+        csb, 77, steps=STEPS, policy="simple", record=True,
+        moves=jnp.asarray(merged),
+        fsm_state=simple_fsm_state_init(B),
+        inject_slots=(0,),
+    )
+    for f in _cell_fields():
+        save[f"mout_{f}"] = np.asarray(getattr(mout, f))
+    save["merged"] = merged
+    save["mxrec"] = np.asarray(mxrec)
+    save["mxdrec"] = np.asarray(mxdrec)
+
     # Reset wiring: boards entering the chunk finished must come out fresh.
     one = _make_inputs()
     one = jax.tree.map(lambda x: x[:8], one)
@@ -193,6 +212,46 @@ def phase_replay() -> int:
         print(f"FAIL: simple final-state mismatch: {bad}")
         return 1
     print("PASS: in-kernel FSM trajectory == XLA FSM replay on TPU")
+
+    # Mixed-control replay: toolkit FSM on the merged input's lanes (lane
+    # 0's entry doubles as that lane's FSM rand draw, exactly as the kernel
+    # consumes it), then lane 0 overridden with the injected learner move.
+    merged, mxrec, mxdrec = data["merged"], data["mxrec"], data["mxdrec"]
+    cs = _make_inputs()
+    asts = jax.tree.map(
+        lambda x: jnp.broadcast_to(x, (B, 4) + x.shape), simple_agent_init()
+    )
+    valid = np.ones((B,), bool)
+    for t in range(STEPS):
+        mv, asts = joint_v(cs, asts, jnp.asarray(merged[t]))
+        mv = jnp.asarray(mv).at[:, 0].set(jnp.asarray(merged[t][:, 0]))
+        mv = np.asarray(
+            jnp.where(cs.agent_dead, 0, mv).astype(jnp.int32)
+        )
+        mism = valid & (mv != mxrec[t]).any(axis=1)
+        if mism.any():
+            print(f"FAIL: mixed step {t}: move mismatch on boards "
+                  f"{np.nonzero(mism)[0][:8]}")
+            return 1
+        cs = step_v(cs, jnp.asarray(mv))
+        alive = np.asarray(4 - cs.agent_dead.sum(axis=1))
+        mism = valid & ((alive <= 1) != mxdrec[t].astype(bool))
+        if mism.any():
+            print(f"FAIL: mixed step {t}: done-flag mismatch on "
+                  f"{np.nonzero(mism)[0][:8]}")
+            return 1
+        valid &= ~mxdrec[t].astype(bool)
+    print(f"mixed: boards never reset: {int(valid.sum())}/{B}")
+    bad = []
+    for name in _cell_fields():
+        a = data[f"mout_{name}"][valid]
+        b = np.asarray(getattr(cs, name))[valid]
+        if not np.array_equal(a, b):
+            bad.append(f"{name} ({int((a != b).sum())} cells)")
+    if bad:
+        print(f"FAIL: mixed final-state mismatch: {bad}")
+        return 1
+    print("PASS: mixed-control (inject_slots) kernel == XLA composition")
 
     board = data["fresh_board"]
     ok = bool((data["fresh_agent_dead"] == 0).all())
