@@ -87,7 +87,6 @@ def lookahead_moves(cs_batch: CellState, agent_id, key,
     playouts evaluated in a single device program.
     """
     b = cs_batch.board.shape[0]
-    k_other, k_play = jax.random.split(key)
 
     def eval_candidate(cs, mv, k):
         ko, kp = jax.random.split(k)
@@ -107,9 +106,115 @@ def lookahead_moves(cs_batch: CellState, agent_id, key,
         )(jnp.arange(6, dtype=I32), ks)
         return jnp.argmax(vals).astype(I32), vals
 
-    keys = jax.random.split(k_play, b)
+    keys = jax.random.split(key, b)
     moves, vals = jax.vmap(per_board)(cs_batch, keys)
     return moves, vals
+
+
+def _tree_search(root: CellState, k, agent_id, n_sim: int,
+                 max_tree_depth: int, score_fn, leaf_fn, root_prior):
+    """Open-loop array-tree search for ONE board (vmapped by the callers).
+
+    The machinery shared by ``mcts_moves`` (UCB1 + random playouts) and
+    ``mcts_moves_net`` (PUCT + value-head leaves): the tree is fixed-size
+    stat arrays (visits / value sums / child indices / priors), each
+    simulation is one scan iteration whose selection walk re-steps the
+    live state from the root along the chosen action path (opponents
+    random), one node is expanded per simulation, and the playout/net
+    value is backed up the recorded path.
+
+    - ``score_fn(nv, q, prior_row) -> f32[6]`` ranks a node's edges for
+      selection (nv = per-edge visit counts, q = mean values).
+    - ``leaf_fn(leaf_state, k_play) -> (prior_row f32[6], value f32)``
+      evaluates the reached leaf and supplies the expanded node's priors
+      (zeros for prior-free searches).
+    - ``root_prior`` seeds node 0's prior row.
+
+    Returns ``(move, root_visits i32[6], root_q f32[6])``; the final move
+    is the root visit-count argmax (robust child), IDLE if dead.
+    """
+    max_nodes = n_sim + 1  # <=1 expansion per simulation, node 0 = root
+
+    n_vis0 = jnp.zeros((max_nodes, 6), I32)
+    w_sum0 = jnp.zeros((max_nodes, 6), jnp.float32)
+    child0 = jnp.full((max_nodes, 6), -1, I32)
+    prior0 = jnp.zeros((max_nodes, 6), jnp.float32).at[0].set(root_prior)
+
+    def simulate(carry, k):
+        n_vis, w_sum, child, prior, n_used = carry
+        k_opp, k_play = jax.random.split(k)
+        opp_keys = jax.random.split(k_opp, max_tree_depth)
+
+        def sel_step(c, inp):
+            d, ko = inp
+            cs, node, stopped, en, ea, path_n, path_a = c
+            nv = n_vis[node].astype(jnp.float32)
+            q = w_sum[node] / jnp.maximum(nv, 1.0)
+            a = jnp.argmax(score_fn(nv, q, prior[node])).astype(I32)
+            path_n = path_n.at[d].set(jnp.where(stopped, -1, node))
+            path_a = path_a.at[d].set(a)
+            # Step the live state along the edge (opponents random).
+            others = jax.random.randint(ko, (4,), 0, 6, I32)
+            moves = jnp.where(jnp.arange(4) == agent_id, a, others)
+            moves = jnp.where(cs.agent_dead, 0, moves)
+            cs1 = cellular_step(cs, moves)
+            cs = jax.tree.map(
+                lambda old, new: jnp.where(stopped, old, new), cs, cs1
+            )
+            nxt = child[node, a]
+            stop_now = (~stopped) & (nxt < 0)
+            en = jnp.where(stop_now, node, en)
+            ea = jnp.where(stop_now, a, ea)
+            node = jnp.where(stopped | stop_now, node, nxt)
+            stopped = stopped | stop_now
+            return (cs, node, stopped, en, ea, path_n, path_a), None
+
+        init = (
+            root, jnp.zeros((), I32), jnp.zeros((), bool),
+            jnp.full((), -1, I32), jnp.zeros((), I32),
+            jnp.zeros((max_tree_depth,), I32),
+            jnp.zeros((max_tree_depth,), I32),
+        )
+        (leaf, _, expanding, en, ea, path_n, path_a), _ = jax.lax.scan(
+            sel_step, init,
+            (jnp.arange(max_tree_depth, dtype=I32), opp_keys),
+        )
+
+        # Expansion: bind the fresh edge (en, ea) to a new node index.
+        new_idx = n_used
+        child = child.at[en, ea].set(
+            jnp.where(expanding, new_idx, child[en, ea])
+        )
+        leaf_prior, value = leaf_fn(leaf, k_play)
+        prior = prior.at[new_idx].set(
+            jnp.where(expanding, leaf_prior, prior[new_idx])
+        )
+        n_used = n_used + expanding.astype(I32)
+
+        # Backprop along the recorded path (slot -1 = unused).
+        def backp(c, pe):
+            n_vis, w_sum = c
+            pn, pa = pe
+            valid = pn >= 0
+            pn = jnp.maximum(pn, 0)
+            n_vis = n_vis.at[pn, pa].add(valid.astype(I32))
+            w_sum = w_sum.at[pn, pa].add(jnp.where(valid, value, 0.0))
+            return (n_vis, w_sum), None
+
+        (n_vis, w_sum), _ = jax.lax.scan(
+            backp, (n_vis, w_sum), (path_n, path_a)
+        )
+        return (n_vis, w_sum, child, prior, n_used), None
+
+    (n_vis, w_sum, _, _, _), _ = jax.lax.scan(
+        simulate,
+        (n_vis0, w_sum0, child0, prior0, jnp.ones((), I32)),
+        jax.random.split(k, n_sim),
+    )
+    root_q = w_sum[0] / jnp.maximum(n_vis[0].astype(jnp.float32), 1.0)
+    mv = jnp.argmax(n_vis[0]).astype(I32)
+    mv = jnp.where(root.agent_dead[agent_id], 0, mv)
+    return mv, n_vis[0], root_q
 
 
 @functools.partial(
@@ -130,100 +235,28 @@ def mcts_moves(cs_batch: CellState, agent_id, key, n_sim: int = 24,
     i32[B,6], root_q f32[B,6])``.
     """
     b = cs_batch.board.shape[0]
-    max_nodes = n_sim + 1  # <=1 expansion per simulation, node 0 = root
 
-    def per_board(root: CellState, k):
-        n_vis = jnp.zeros((max_nodes, 6), I32)
-        w_sum = jnp.zeros((max_nodes, 6), jnp.float32)
-        child = jnp.full((max_nodes, 6), -1, I32)
-
-        def simulate(carry, k):
-            n_vis, w_sum, child, n_used = carry
-            k_opp, k_play = jax.random.split(k)
-            opp_keys = jax.random.split(k_opp, max_tree_depth)
-
-            def sel_step(c, inp):
-                d, ko = inp
-                cs, node, stopped, en, ea, path_n, path_a = c
-                nv = n_vis[node].astype(jnp.float32)
-                q = w_sum[node] / jnp.maximum(nv, 1.0)
-                u = c_uct * jnp.sqrt(
-                    jnp.log(nv.sum() + 1.0) / jnp.maximum(nv, 1.0)
-                )
-                # Unvisited edges outrank everything, tried in move order.
-                score = jnp.where(
-                    nv == 0.0,
-                    1e9 - jnp.arange(6, dtype=jnp.float32),
-                    q + u,
-                )
-                a = jnp.argmax(score).astype(I32)
-                path_n = path_n.at[d].set(jnp.where(stopped, -1, node))
-                path_a = path_a.at[d].set(a)
-                # Step the live state along the edge (opponents random).
-                others = jax.random.randint(ko, (4,), 0, 6, I32)
-                moves = jnp.where(jnp.arange(4) == agent_id, a, others)
-                moves = jnp.where(cs.agent_dead, 0, moves)
-                cs1 = cellular_step(cs, moves)
-                cs = jax.tree.map(
-                    lambda old, new: jnp.where(stopped, old, new), cs, cs1
-                )
-                nxt = child[node, a]
-                stop_now = (~stopped) & (nxt < 0)
-                en = jnp.where(stop_now, node, en)
-                ea = jnp.where(stop_now, a, ea)
-                node = jnp.where(stopped | stop_now, node, nxt)
-                stopped = stopped | stop_now
-                return (cs, node, stopped, en, ea, path_n, path_a), None
-
-            init = (
-                root, jnp.zeros((), I32), jnp.zeros((), bool),
-                jnp.full((), -1, I32), jnp.zeros((), I32),
-                jnp.zeros((max_tree_depth,), I32),
-                jnp.zeros((max_tree_depth,), I32),
-            )
-            (leaf, _, expanding, en, ea, path_n, path_a), _ = jax.lax.scan(
-                sel_step, init,
-                (jnp.arange(max_tree_depth, dtype=I32), opp_keys),
-            )
-
-            # Expansion: bind the fresh edge (en, ea) to a new node index.
-            new_idx = n_used
-            child = child.at[en, ea].set(
-                jnp.where(expanding, new_idx, child[en, ea])
-            )
-            n_used = n_used + expanding.astype(I32)
-
-            value = playout_value(leaf, agent_id, k_play, depth)
-
-            # Backprop along the recorded path (slot -1 = unused).
-            def backp(c, pe):
-                n_vis, w_sum = c
-                pn, pa = pe
-                valid = pn >= 0
-                pn = jnp.maximum(pn, 0)
-                n_vis = n_vis.at[pn, pa].add(valid.astype(I32))
-                w_sum = w_sum.at[pn, pa].add(
-                    jnp.where(valid, value, 0.0)
-                )
-                return (n_vis, w_sum), None
-
-            (n_vis, w_sum), _ = jax.lax.scan(
-                backp, (n_vis, w_sum), (path_n, path_a)
-            )
-            return (n_vis, w_sum, child, n_used), None
-
-        (n_vis, w_sum, _, _), _ = jax.lax.scan(
-            simulate,
-            (n_vis, w_sum, child, jnp.ones((), I32)),
-            jax.random.split(k, n_sim),
+    def score_ucb1(nv, q, _prior):
+        u = c_uct * jnp.sqrt(
+            jnp.log(nv.sum() + 1.0) / jnp.maximum(nv, 1.0)
         )
-        root_q = w_sum[0] / jnp.maximum(n_vis[0].astype(jnp.float32), 1.0)
-        mv = jnp.argmax(n_vis[0]).astype(I32)
-        mv = jnp.where(root.agent_dead[agent_id], 0, mv)
-        return mv, n_vis[0], root_q
+        # Unvisited edges outrank everything, tried in move order.
+        return jnp.where(
+            nv == 0.0, 1e9 - jnp.arange(6, dtype=jnp.float32), q + u
+        )
 
+    def leaf_playout(leaf, k_play):
+        return (jnp.zeros((6,), jnp.float32),
+                playout_value(leaf, agent_id, k_play, depth))
+
+    zeros6 = jnp.zeros((6,), jnp.float32)
     keys = jax.random.split(key, b)
-    return jax.vmap(per_board)(cs_batch, keys)
+    return jax.vmap(
+        lambda root, kk: _tree_search(
+            root, kk, agent_id, n_sim, max_tree_depth,
+            score_ucb1, leaf_playout, zeros6,
+        )
+    )(cs_batch, keys)
 
 
 def mcts_moves_net(cs_batch: CellState, agent_id, key, apply_fn, params,
@@ -231,11 +264,12 @@ def mcts_moves_net(cs_batch: CellState, agent_id, key, apply_fn, params,
                    c_puct: float = 1.5):
     """AlphaZero-style PUCT search guided by the actor-critic net.
 
-    Same open-loop array tree as ``mcts_moves``, but the net replaces both
-    random components: expanded nodes store the policy head's move priors
-    (selection score Q + c_puct * P * sqrt(sum N)/(1 + n), the PUCT rule),
-    and leaf evaluation is the value head instead of a random playout --
-    except terminal leaves, which score exactly (+1 win / -1 dead).  The
+    Same open-loop array tree as ``mcts_moves`` (shared ``_tree_search``
+    machinery), but the net replaces both random components: expanded
+    nodes store the policy head's move priors (selection score
+    Q + c_puct * P * sqrt(sum N)/(1 + n), the PUCT rule), and leaf
+    evaluation is the value head instead of a random playout -- except
+    terminal leaves, which score exactly (+1 win / -1 dead).  The
     classic search/learning composition: distill.py teaches the net from
     search visits, the net then sharpens the search.
 
@@ -249,7 +283,6 @@ def mcts_moves_net(cs_batch: CellState, agent_id, key, apply_fn, params,
     from .models.actor_critic import obs_to_features
 
     b = cs_batch.board.shape[0]
-    max_nodes = n_sim + 1
 
     def net_eval(cs):
         logits, value = apply_fn(params, obs_to_features(
@@ -261,92 +294,21 @@ def mcts_moves_net(cs_batch: CellState, agent_id, key, apply_fn, params,
         value = jnp.where(dead, -1.0, jnp.where(won, 1.0, value))
         return jax.nn.softmax(logits), value
 
-    def per_board(root: CellState, k):
-        n_vis = jnp.zeros((max_nodes, 6), I32)
-        w_sum = jnp.zeros((max_nodes, 6), jnp.float32)
-        child = jnp.full((max_nodes, 6), -1, I32)
-        prior = jnp.zeros((max_nodes, 6), jnp.float32)
-        prior = prior.at[0].set(net_eval(root)[0])
-
-        def simulate(carry, k):
-            n_vis, w_sum, child, prior, n_used = carry
-            opp_keys = jax.random.split(k, max_tree_depth)
-
-            def sel_step(c, inp):
-                d, ko = inp
-                cs, node, stopped, en, ea, path_n, path_a = c
-                nv = n_vis[node].astype(jnp.float32)
-                q = w_sum[node] / jnp.maximum(nv, 1.0)
-                u = c_puct * prior[node] * (
-                    jnp.sqrt(nv.sum() + 1.0) / (1.0 + nv)
-                )
-                a = jnp.argmax(q + u).astype(I32)
-                path_n = path_n.at[d].set(jnp.where(stopped, -1, node))
-                path_a = path_a.at[d].set(a)
-                others = jax.random.randint(ko, (4,), 0, 6, I32)
-                moves = jnp.where(jnp.arange(4) == agent_id, a, others)
-                moves = jnp.where(cs.agent_dead, 0, moves)
-                cs1 = cellular_step(cs, moves)
-                cs = jax.tree.map(
-                    lambda old, new: jnp.where(stopped, old, new), cs, cs1
-                )
-                nxt = child[node, a]
-                stop_now = (~stopped) & (nxt < 0)
-                en = jnp.where(stop_now, node, en)
-                ea = jnp.where(stop_now, a, ea)
-                node = jnp.where(stopped | stop_now, node, nxt)
-                stopped = stopped | stop_now
-                return (cs, node, stopped, en, ea, path_n, path_a), None
-
-            init = (
-                root, jnp.zeros((), I32), jnp.zeros((), bool),
-                jnp.full((), -1, I32), jnp.zeros((), I32),
-                jnp.zeros((max_tree_depth,), I32),
-                jnp.zeros((max_tree_depth,), I32),
-            )
-            (leaf, _, expanding, en, ea, path_n, path_a), _ = jax.lax.scan(
-                sel_step, init,
-                (jnp.arange(max_tree_depth, dtype=I32), opp_keys),
-            )
-
-            new_idx = n_used
-            child = child.at[en, ea].set(
-                jnp.where(expanding, new_idx, child[en, ea])
-            )
-            leaf_p, value = net_eval(leaf)
-            prior = prior.at[new_idx].set(
-                jnp.where(expanding, leaf_p, prior[new_idx])
-            )
-            n_used = n_used + expanding.astype(I32)
-
-            def backp(c, pe):
-                n_vis, w_sum = c
-                pn, pa = pe
-                valid = pn >= 0
-                pn = jnp.maximum(pn, 0)
-                n_vis = n_vis.at[pn, pa].add(valid.astype(I32))
-                w_sum = w_sum.at[pn, pa].add(
-                    jnp.where(valid, value, 0.0)
-                )
-                return (n_vis, w_sum), None
-
-            (n_vis, w_sum), _ = jax.lax.scan(
-                backp, (n_vis, w_sum), (path_n, path_a)
-            )
-            return (n_vis, w_sum, child, prior, n_used), None
-
-        (n_vis, w_sum, _, _, _), _ = jax.lax.scan(
-            simulate,
-            (n_vis, w_sum, child, prior, jnp.ones((), I32)),
-            jax.random.split(k, n_sim),
+    def score_puct(nv, q, prior_row):
+        return q + c_puct * prior_row * (
+            jnp.sqrt(nv.sum() + 1.0) / (1.0 + nv)
         )
-        root_q = w_sum[0] / jnp.maximum(n_vis[0].astype(jnp.float32), 1.0)
-        mv = jnp.argmax(n_vis[0]).astype(I32)
-        mv = jnp.where(root.agent_dead[agent_id], 0, mv)
-        return mv, n_vis[0], root_q
+
+    def leaf_net(leaf, _k_play):
+        return net_eval(leaf)
 
     keys = jax.random.split(key, b)
-    return jax.vmap(per_board)(cs_batch, keys)
+    return jax.vmap(
+        lambda root, kk: _tree_search(
+            root, kk, agent_id, n_sim, max_tree_depth,
+            score_puct, leaf_net, net_eval(root)[0],
+        )
+    )(cs_batch, keys)
 
 
 @functools.partial(
