@@ -44,13 +44,19 @@ class GameResults(NamedTuple):
 
 def play_games(names, games: int, steps: int, ppo_params=None,
                seed: int = 0, team: bool = False,
-               search_kwargs=None) -> GameResults:
+               search_kwargs=None, check_every: int = 32) -> GameResults:
     """Play ``games`` batched games with the 4-slot line-up ``names``.
 
     ``names[i]`` is one of random/harmless/lazy/simple/ppo/mcts/lookahead
     (``ppo`` uses ``ppo_params``; the planners take ``search_kwargs``,
     e.g. ``{"n_sim": 24, "depth": 12}`` for mcts).  Jit-compiled per
     distinct line-up.
+
+    The all-done early exit is only polled every ``check_every`` steps:
+    a host fetch is the one real barrier on the remote-TPU path, and
+    polling per step serializes the loop on tunnel latency.  Terminal
+    states are latched by ``env_step``, so overshooting costs nothing
+    but (cheap) frozen steps.
     """
     assert len(names) == 4
 
@@ -118,7 +124,7 @@ def play_games(names, games: int, steps: int, ppo_params=None,
     for t in range(steps):
         key, k = jax.random.split(key)
         es, ps = run_step(es, ps, k)
-        if bool(np.asarray(es.done).all()):
+        if (t + 1) % check_every == 0 and bool(np.asarray(es.done).all()):
             break
     return GameResults(
         done=np.asarray(es.done),
@@ -148,26 +154,30 @@ class League:
         self.ratings = {n: float(initial) for n in self.roster}
         self.games_played = {n: 0 for n in self.roster}
 
-    def _update_pair(self, a: str, b: str, score_a: float) -> None:
-        ra, rb = self.ratings[a], self.ratings[b]
-        ea = elo_expected(ra, rb)
-        self.ratings[a] = ra + self.k * (score_a - ea)
-        self.ratings[b] = rb + self.k * ((1.0 - score_a) - (1.0 - ea))
-
     def record(self, lineup, results: GameResults) -> None:
-        """Fold a batch of games of ``lineup`` (4 roster names) in."""
+        """Fold a batch of games of ``lineup`` (4 roster names) in.
+
+        All pairwise expectations within one game are computed from the
+        ratings as they stood *before* the game (standard multiplayer
+        Elo); otherwise earlier pairs' updates leak into later pairs'
+        expected scores and the result depends on pair iteration order.
+        """
         for g in range(len(results.done)):
             if not results.done[g]:
                 continue
             win = int(results.winners[g])
+            pre = dict(self.ratings)
             for i, j in itertools.combinations(range(4), 2):
                 a, b = lineup[i], lineup[j]
                 if a == b:
                     continue
                 if results.draws[g] or (win != i and win != j):
-                    self._update_pair(a, b, 0.5)
+                    score_a = 0.5
                 else:
-                    self._update_pair(a, b, 1.0 if win == i else 0.0)
+                    score_a = 1.0 if win == i else 0.0
+                ea = elo_expected(pre[a], pre[b])
+                self.ratings[a] += self.k * (score_a - ea)
+                self.ratings[b] += self.k * ((1.0 - score_a) - (1.0 - ea))
             for n in set(lineup):
                 self.games_played[n] += 1
 
