@@ -188,8 +188,15 @@ def swar_bfs(board, ac, valid):
         def cond(carry):
             return carry[3] < _fixed
     else:
+        # The convergence check is the real terminator (measured ~23
+        # rounds on generated boards; one round advances every frontier
+        # by one cell).  The cap only exists as a compile-time bound and
+        # must cover the worst possible shortest path on the board
+        # (a serpentine corridor can reach ~120 cells), else far cells
+        # would silently read unreachable and diverge from
+        # cellular_toolkit.fill_reach_map's run-to-convergence loop.
         def cond(carry):
-            return (carry[2] != 0) & (carry[3] < 40)
+            return (carry[2] != 0) & (carry[3] < NUM_CELLS)
 
     d, r, _, _ = jax.lax.while_loop(
         cond, body, (d0, r0, jnp.ones((), I32), jnp.zeros((), I32))

@@ -61,6 +61,9 @@ CHUNK_BLOCK = 128  # smaller block for the multi-step chunk kernel: its
                    # in-loop temporaries must fit the 16MB scoped VMEM
 MAX_CHAIN_ROUNDS = 4
 _NEG = -1000
+_RP_STALE = 14     # pallas_fsm._enc_pos(0, 0): what a never-written FSM
+                   # recentPositions ring slot must read as (the reference's
+                   # zero-initialized queue storage holds Position(0,0))
 
 # Per-lane coordinates (lane i is cell i; lanes >= 121 are void).
 def _lane_iota(block):
@@ -847,8 +850,11 @@ def _chunk_kernel(seed_ref, *refs, steps: int, n_moves: int = 6,
         def do_reset(carry):
             fresh = _fresh_boards(block)
             if simple:
-                fresh = fresh + tuple(
-                    jnp.zeros((block, 4), I32) for _ in range(10)
+                # Ring slots reset to encoded (0,0), not 0 -- see
+                # simple_fsm_state_init (stale-slot reads in _HasRPLoop).
+                rp = jnp.full((block, 4), _RP_STALE, I32)
+                fresh = fresh + (rp, rp, rp, rp) + tuple(
+                    jnp.zeros((block, 4), I32) for _ in range(6)
                 )
             return tuple(
                 jnp.where(done, f, c) for f, c in zip(fresh, carry)
@@ -1031,10 +1037,19 @@ def pallas_rollout_chunk(cs: CellState, seed, steps: int = 64,
 
 def simple_fsm_state_init(b: int):
     """Fresh SimpleAgent FSM state for ``pallas_rollout_chunk(policy=
-    'simple')``: 10 zero i32[b,4] arrays (ring slots x4, ring head, ring
-    count, moveQueue slots x4) -- zeros match simple_agent_init (counts 0
-    gate all stale-slot reads)."""
-    return tuple(jnp.zeros((b, 4), I32) for _ in range(10))
+    'simple')``: 10 i32[b,4] arrays (ring slots x4, ring head, ring
+    count, moveQueue slots x4).  Ring slots start at ``_enc_pos(0, 0)``
+    = 14, NOT 0: the reference's _HasRPLoop (simple_agent.cpp:24-35)
+    reads ring slots [2] and [3] while count is still 2-3, and the
+    oracle pins those stale reads to Position(0,0) (zero-initialized
+    queue storage; simple_agent_init matches with rp_x=rp_y=0), so the
+    kernel's encoded stale slots must read as (0,0) too.  Heads, counts
+    and moveQueue slots start at 0 (= M_IDLE, matching the stale
+    moveQueue reads)."""
+    rp = jnp.full((b, 4), _RP_STALE, I32)
+    return (rp, rp, rp, rp) + tuple(
+        jnp.zeros((b, 4), I32) for _ in range(6)
+    )
 
 
 def _kernel(board_ref, hidden_ref, ftimer_ref, btimer_ref, bstr_ref,

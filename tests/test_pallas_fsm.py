@@ -166,3 +166,63 @@ def test_mixed_control_env_step_matches_xla_composition():
         assert np.array_equal(
             np.asarray(getattr(es_k, name)), np.asarray(getattr(es_x, name))
         )
+
+
+def test_fsm_kernel_bfs_exact_beyond_40_rounds():
+    """Serpentine board: the enemy is 6 manhattan away but 46 walkable
+    steps away.  The in-kernel SWAR BFS must still relax to convergence
+    (its round cap covers the worst-case shortest path, NUM_CELLS), or
+    the enemy reads unreachable and the approach branch silently
+    diverges from the toolkit's run-to-convergence fill_reach_map."""
+    from pomcpp_tpu.core.constants import C_RIGID
+    from pomcpp_tpu.core.state import empty_state, put_agent, put_item
+    from pomcpp_tpu.engine.cellular import from_state
+    from pomcpp_tpu.strategy.cellular_toolkit import fill_reach_map
+
+    s = empty_state()
+    # Walls down columns 1/3/5 with alternating openings: the corridor
+    # snakes (0,0) -> (0,10) -> (2,10) -> (2,0) -> (4,0) -> (4,10) -> (6,10)
+    # -> (6,0).
+    for y in range(10):
+        s = put_item(s, 1, y, C_RIGID)       # col 1 open only at y=10
+        s = put_item(s, 5, y, C_RIGID)       # col 5 open only at y=10
+    for y in range(1, 11):
+        s = put_item(s, 3, y, C_RIGID)       # col 3 open only at y=0
+    s = put_agent(s, 0, 0, 0)
+    s = put_agent(s, 6, 0, 1)
+    s = put_agent(s, 8, 10, 2)
+    s = put_agent(s, 10, 10, 3)
+    cs = from_state(s)
+
+    # Self-check the scenario: walk distance to the enemy exceeds the old
+    # 40-round cap while manhattan (6) is inside the approach trigger (7).
+    rmap = fill_reach_map(cs, 0)
+    enemy_cell = 6 + 11 * 0
+    assert int(rmap.dist[enemy_cell]) == 46
+
+    b = 2
+    csb = jax.tree.map(lambda x: jnp.broadcast_to(x, (b,) + x.shape), cs)
+    rng = np.random.RandomState(7)
+    steps = 3
+    rands = jnp.asarray(rng.randint(0, 5, size=(steps, b, 4)), jnp.int32)
+
+    _, mrec, _, _ = pallas_rollout_chunk(
+        csb, 0, steps=steps, interpret=True, policy="simple",
+        moves=rands, record=True, auto_reset=False,
+        fsm_state=simple_fsm_state_init(b),
+    )
+    mrec = np.asarray(mrec)
+
+    joint_v = jax.jit(jax.vmap(_joint_with_rands))
+    step_v = jax.jit(jax.vmap(cellular_step))
+    asts = jax.tree.map(
+        lambda x: jnp.broadcast_to(x, (b, 4) + x.shape), simple_agent_init()
+    )
+    csx = csb
+    for t in range(steps):
+        mv, asts = joint_v(csx, asts, rands[t])
+        mv = jnp.where(csx.agent_dead, 0, mv).astype(jnp.int32)
+        assert np.array_equal(np.asarray(mv), mrec[t]), (
+            f"step {t}: kernel {mrec[t]} vs cellular {np.asarray(mv)}"
+        )
+        csx = step_v(csx, mv)
