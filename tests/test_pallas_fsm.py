@@ -226,3 +226,68 @@ def test_fsm_kernel_bfs_exact_beyond_40_rounds():
             f"step {t}: kernel {mrec[t]} vs cellular {np.asarray(mv)}"
         )
         csx = step_v(csx, mv)
+
+
+@pytest.mark.parametrize("seed", [21, 22])
+def test_fsm_kernel_close_quarters_fuzz(seed):
+    """Generated boards start agents in corners (>7 manhattan apart), so
+    the aggression branches (bomb-adjacent, RP-loop random, approach)
+    never fire in the first steps and their quirks hide from the
+    generated-board equivalence tests.  Teleport all four agents into a
+    5x5 window and demand kernel/toolkit move-exactness through the
+    ensuing close combat (bombs, fleeing, early RP-loop stale reads)."""
+    steps, b = 16, 6
+    keys = jax.random.split(jax.random.PRNGKey(seed), b)
+    csb = jax.vmap(random_cell_state)(keys)
+
+    rng = np.random.RandomState(seed)
+    lane = jnp.arange(121)
+    board = csb.board
+    # Clear the original agent cells.
+    for i in range(4):
+        cell = (csb.agent_x[:, i] + 11 * csb.agent_y[:, i])[:, None]
+        board = jnp.where(lane[None] == cell, 0, board)
+    # Drop the agents on distinct cells of a random 5x5 window per board.
+    nx = np.zeros((b, 4), np.int32)
+    ny = np.zeros((b, 4), np.int32)
+    for g in range(b):
+        ox, oy = rng.randint(0, 7, size=2)
+        cells = rng.choice(25, size=4, replace=False)
+        nx[g] = ox + cells % 5
+        ny[g] = oy + cells // 5
+    from pomcpp_tpu.core.constants import C_AGENT0
+    for i in range(4):
+        cell = jnp.asarray(nx[:, i] + 11 * ny[:, i])[:, None]
+        board = jnp.where(lane[None] == cell, C_AGENT0 + i, board)
+    csb = csb._replace(
+        board=board,
+        agent_x=jnp.asarray(nx), agent_y=jnp.asarray(ny),
+    )
+
+    rands = jnp.asarray(rng.randint(0, 5, size=(steps, b, 4)), jnp.int32)
+    got, mrec, _, _ = pallas_rollout_chunk(
+        csb, 0, steps=steps, interpret=True, policy="simple",
+        moves=rands, record=True, auto_reset=False,
+        fsm_state=simple_fsm_state_init(b),
+    )
+    mrec = np.asarray(mrec)
+
+    joint_v = jax.jit(jax.vmap(_joint_with_rands))
+    step_v = jax.jit(jax.vmap(cellular_step))
+    asts = jax.tree.map(
+        lambda x: jnp.broadcast_to(x, (b, 4) + x.shape), simple_agent_init()
+    )
+    cs = csb
+    for t in range(steps):
+        mv, asts = joint_v(cs, asts, rands[t])
+        mv = jnp.where(cs.agent_dead, 0, mv).astype(jnp.int32)
+        assert np.array_equal(np.asarray(mv), mrec[t]), (
+            f"step {t}: kernel {mrec[t]} vs cellular {np.asarray(mv)}"
+        )
+        cs = step_v(cs, mv)
+    for name in CellState._fields:
+        if name == "timestep":
+            continue
+        assert np.array_equal(
+            np.asarray(getattr(got, name)), np.asarray(getattr(cs, name))
+        ), f"final state field {name} differs"
