@@ -48,8 +48,6 @@ from ..core.constants import (
     C_WOOD,
     FLAME_LIFETIME,
     M_BOMB,
-    MOVE_DX,
-    MOVE_DY,
     NUM_CELLS,
 )
 from ..core.state import I32
@@ -142,11 +140,6 @@ def _dest_oob(dir_plane):
     )
 
 
-def _onehot_cell(cell_col, block):
-    """[BLOCK,1] cell index -> [BLOCK,LANES] one-hot."""
-    return _lane_iota(block) == cell_col
-
-
 def _is_agent(item):
     return item >= C_AGENT0
 
@@ -165,32 +158,6 @@ def _flag_item(pwp):
         C_EXTRABOMB,
         jnp.where(pwp == 2, C_INCRRANGE, jnp.where(pwp == 3, C_KICK, C_PASSAGE)),
     )
-
-
-_DXL = tuple(MOVE_DX)
-_DYL = tuple(MOVE_DY)
-
-
-
-def _setcol(arr, i: int, val):
-    """arr[:, i] = val without scatter (Mosaic has no scatter lowering).
-
-    Bool arrays use bitwise blending: a narrow select over *stored* bools
-    lowers to an unsupported i8->i1 truncation in Mosaic.
-    """
-    cmask = jax.lax.broadcasted_iota(jnp.int32, arr.shape, 1) == i
-    if arr.dtype == jnp.bool_:
-        return (arr & ~cmask) | (cmask & val[:, None])
-    return jnp.where(cmask, val[:, None], arr)
-
-def _mv_delta(m):
-    """Move codes [..., 4] -> (dx, dy) of the same shape."""
-    dx = jnp.zeros_like(m)
-    dy = jnp.zeros_like(m)
-    for code in range(6):
-        dx = jnp.where(m == code, _DXL[code], dx)
-        dy = jnp.where(m == code, _DYL[code], dy)
-    return dx, dy
 
 
 def _ray_reach(board, origin_allowance):

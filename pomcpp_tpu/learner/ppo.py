@@ -173,6 +173,15 @@ class Transition(NamedTuple):
     reward: jax.Array   # f32[4]
     alive: jax.Array    # bool[4] agent was alive when acting
     done: jax.Array     # bool    episode boundary after this step
+    term: jax.Array     # bool[4] per-agent terminal after this step: the
+                        #         board boundary OR this agent's own death.
+                        #         GAE must truncate at a death even though
+                        #         the board plays on -- the value head is
+                        #         never trained on post-death observations
+                        #         (alive masks them out of the loss), so
+                        #         bootstrapping through V(dead obs) would
+                        #         leak arbitrary network outputs into every
+                        #         pre-death advantage.
     draw: jax.Array     # bool    that boundary ended with no winner
                         #         (step-cap timeout or mutual destruction)
     valid: jax.Array    # bool    False for the frozen post-terminal step that
@@ -228,6 +237,7 @@ def collect_rollout(params, es: EnvState, cfg: PPOConfig):
             reward=reward,
             alive=alive_before,
             done=es2.done & ~es.done,
+            term=(es2.done & ~es.done) | died,
             draw=es2.done & ~es.done & (es2.winner < 0),
             valid=~es.done,
         )
@@ -340,6 +350,7 @@ def collect_rollout_batch(params, es: EnvState, cfg: PPOConfig, opp_state=None):
             reward=reward[:, sl],
             alive=alive_before[:, sl],
             done=es2.done & ~es.done,
+            term=(new_done | died)[:, sl],
             draw=es2.done & ~es.done & (es2.winner < 0),
             valid=~es.done,
         )
@@ -359,11 +370,17 @@ def collect_rollout_batch(params, es: EnvState, cfg: PPOConfig, opp_state=None):
 
 
 def compute_gae(traj: Transition, boot_value, cfg: PPOConfig):
-    """GAE over the time axis ([T, 4] values/rewards, done masking)."""
+    """GAE over the time axis ([T, 4] values/rewards).
+
+    Truncation is per-agent (``term`` = board boundary OR own death), so
+    a dying agent's recursion stops at its death transition instead of
+    bootstrapping through value estimates of post-death observations the
+    value head is never trained on.
+    """
 
     def body(carry, tr):
         gae, next_value = carry
-        nonterminal = 1.0 - tr.done.astype(jnp.float32)
+        nonterminal = 1.0 - tr.term.astype(jnp.float32)
         delta = tr.reward + cfg.gamma * next_value * nonterminal - tr.value
         gae = delta + cfg.gamma * cfg.lam * nonterminal * gae
         return (gae, tr.value), (gae, gae + tr.value)
@@ -379,9 +396,9 @@ def compute_gae(traj: Transition, boot_value, cfg: PPOConfig):
 
 def _ppo_loss(params, batch, cfg: PPOConfig):
     feats, move, old_logp, adv, ret, alive = batch
-    w = 2 * _VIEW + 1
+    view_w = 2 * _VIEW + 1
     logits, value = jax.vmap(
-        lambda f: _MODEL.apply(params, f.reshape(w, w, -1))
+        lambda f: _MODEL.apply(params, f.reshape(view_w, view_w, -1))
     )(feats)
     logp_all = jax.nn.log_softmax(logits)
     logp = jnp.take_along_axis(logp_all, move[:, None], axis=1)[:, 0]

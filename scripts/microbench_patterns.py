@@ -3,7 +3,7 @@ to build a per-pattern cost model for the round-2 op diet.
 
 Patterns measured (all on [128, x] i32 in one Pallas kernel, K reps):
   baseline  : chain of plain [128,128] elementwise ops
-  colslice  : a[:, i] column extract + compare + _setcol write-back
+  colslice  : a[:, i] column extract + compare + masked write-back
   whole4    : whole-array [128,4] ops with concat-based lane roll
   onehot_rd : one-hot read from a [128,128] plane -> [128,1]
   push      : the _push neighbor-shift helper (iota + roll + mask)

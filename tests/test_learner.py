@@ -22,6 +22,9 @@ def test_gae_matches_reference_impl():
     boot = rng.randn(4).astype(np.float32)
     cfg = PPOConfig(gamma=0.9, lam=0.8)
 
+    board_done = dones[:, 0] > 0.5
+    died = dones > 0.8  # sparse per-agent deaths on non-boundary steps
+    term = board_done[:, None] | died
     tr = Transition(
         feats=jnp.zeros((T, 4, 1)),
         move=jnp.zeros((T, 4), jnp.int32),
@@ -29,19 +32,19 @@ def test_gae_matches_reference_impl():
         value=jnp.asarray(values),
         reward=jnp.asarray(rewards),
         alive=jnp.ones((T, 4), bool),
-        done=jnp.asarray(dones[:, 0] > 0.5),
+        done=jnp.asarray(board_done),
+        term=jnp.asarray(term),
         draw=jnp.zeros((T,), bool),
         valid=jnp.ones((T,), bool),
     )
     adv, ret = compute_gae(tr, jnp.asarray(boot), cfg)
 
-    # Straightforward python reference.
+    # Straightforward python reference (per-agent truncation).
     adv_ref = np.zeros((T, 4), np.float32)
     gae = np.zeros(4, np.float32)
     next_v = boot.copy()
-    done_t = np.asarray(tr.done)
     for t in reversed(range(T)):
-        nonterm = 1.0 - float(done_t[t])
+        nonterm = 1.0 - term[t].astype(np.float32)
         delta = rewards[t] + cfg.gamma * next_v * nonterm - values[t]
         gae = delta + cfg.gamma * cfg.lam * nonterm * gae
         adv_ref[t] = gae
