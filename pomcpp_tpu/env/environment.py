@@ -170,27 +170,41 @@ def env_step_auto_reset_batch(
     if fused:
         from ..engine.pallas_step import pallas_step
 
+        assert isinstance(es.game, CellState), (
+            "fused=True steps the Pallas kernel, which is CellState-only; "
+            "build the batch with env_reset(key, engine='cellular')"
+        )
         game = pallas_step(es.game, moves)
         game = game._replace(timestep=game.timestep + 1)
-        nxt = jax.vmap(
-            lambda e: _detect_terminal(e, team_mode, max_steps)
-        )(es._replace(game=game))
-        stepped = jax.tree.map(
-            lambda a, b: jnp.where(
-                es.done.reshape((-1,) + (1,) * (a.ndim - 1)), a, b
-            ),
-            es, nxt,
-        )
-        fresh = jax.vmap(lambda k: _fresh(k, "cellular"))(es.key)
-        return jax.tree.map(
-            lambda f, s: jnp.where(
-                es.done.reshape((-1,) + (1,) * (f.ndim - 1)), f, s
-            ),
-            fresh, stepped,
-        )
+        return _merge_done_and_reset(es, game, team_mode, max_steps)
     return jax.vmap(
         lambda e, m: env_step_auto_reset(e, m, team_mode, max_steps)
     )(es, moves)
+
+
+def _merge_done_and_reset(es: EnvState, game, team_mode: bool,
+                          max_steps: int) -> EnvState:
+    """Batched done-latch + auto-reset merge shared by the fused paths.
+
+    ``game`` is the already-stepped batch (timestep advanced).  Boards
+    that were already done keep their frozen terminal state, boards that
+    just finished latch their result, and done boards are then replaced
+    by fresh games keyed from ``es.key``.
+    """
+    nxt = jax.vmap(lambda e: _detect_terminal(e, team_mode, max_steps))(
+        es._replace(game=game)
+    )
+
+    def _bcast(d, a):
+        return d.reshape((-1,) + (1,) * (a.ndim - 1))
+
+    stepped = jax.tree.map(
+        lambda a, b: jnp.where(_bcast(es.done, a), a, b), es, nxt
+    )
+    fresh = jax.vmap(lambda k: _fresh(k, "cellular"))(es.key)
+    return jax.tree.map(
+        lambda f, s: jnp.where(_bcast(es.done, f), f, s), fresh, stepped
+    )
 
 
 def env_step_auto_reset_batch_fsm(
@@ -224,23 +238,7 @@ def env_step_auto_reset_batch_fsm(
         auto_reset=False, fsm_state=fsm_state, inject_slots=slots,
         prng_rand=rand_moves is None, interpret=interpret,
     )
-    nxt = jax.vmap(
-        lambda e: _detect_terminal(e, team_mode, max_steps)
-    )(es._replace(game=game))
-    stepped = jax.tree.map(
-        lambda a, b: jnp.where(
-            es.done.reshape((-1,) + (1,) * (a.ndim - 1)), a, b
-        ),
-        es, nxt,
-    )
-    fresh = jax.vmap(lambda k: _fresh(k, "cellular"))(es.key)
-    out = jax.tree.map(
-        lambda f, s: jnp.where(
-            es.done.reshape((-1,) + (1,) * (f.ndim - 1)), f, s
-        ),
-        fresh, stepped,
-    )
-    return out, fsm2
+    return _merge_done_and_reset(es, game, team_mode, max_steps), fsm2
 
 
 def act_all(policy: Policy, key: jax.Array, game: State) -> jax.Array:
@@ -256,14 +254,21 @@ def act_all(policy: Policy, key: jax.Array, game: State) -> jax.Array:
     return jnp.where(game.agent_dead, 0, moves).astype(I32)
 
 
-def rollout(es: EnvState, policy: Policy, n_steps: int, auto_reset: bool = True):
+def rollout(es: EnvState, policy: Policy, n_steps: int, auto_reset: bool = True,
+            team_mode: bool = False, max_steps: int = 0):
     """Run ``n_steps`` with ``policy`` controlling all agents via lax.scan.
 
     Returns ``(final_env, metrics)`` where metrics are per-step scalars
     (done flags, winners, alive counts) stacked over time.  vmap over a
     leading batch axis of ``es`` for lockstep parallel games.
+    ``team_mode``/``max_steps`` forward to the stepper's terminal
+    detection (2v2 outcomes; step-cap draws for stalemate-prone
+    policies).
     """
-    stepper = env_step_auto_reset if auto_reset else env_step
+    base = env_step_auto_reset if auto_reset else env_step
+
+    def stepper(e, m):
+        return base(e, m, team_mode=team_mode, max_steps=max_steps)
 
     def body(carry, _):
         es = carry
@@ -288,6 +293,8 @@ def rollout_stateful(
     auto_reset: bool = True,
     reset_policy_state=None,
     joint: bool = False,
+    team_mode: bool = False,
+    max_steps: int = 0,
 ):
     """Rollout for stateful policies (e.g. the SimpleAgent FSM).
 
@@ -299,9 +306,13 @@ def rollout_stateful(
     ``joint=True`` switches the protocol to
     ``act_fn(key, game, pstate) -> (moves_i32[4], pstate')`` -- one call for
     all four agents, letting the policy share agent-independent work (e.g.
-    the SimpleAgent danger map).
+    the SimpleAgent danger map).  ``team_mode``/``max_steps`` forward to
+    the stepper's terminal detection.
     """
-    stepper = env_step_auto_reset if auto_reset else env_step
+    base = env_step_auto_reset if auto_reset else env_step
+
+    def stepper(e, m):
+        return base(e, m, team_mode=team_mode, max_steps=max_steps)
 
     def body(carry, _):
         es, ps = carry
