@@ -41,3 +41,22 @@ def test_play_games_with_mcts_lineup():
     )
     assert res.winners.shape == (3,)
     assert res.steps <= 40
+
+
+def test_league_pairs_score_from_pre_game_ratings():
+    # Winner in slot 1: every pair must be judged from the PRE-game
+    # ratings, so the three equal-rated losers come out identical
+    # regardless of pair iteration order (pair-by-pair updates would
+    # penalize later pairs against the winner's already-raised rating).
+    lg2 = League(["a", "b", "c", "d"], k=32.0)
+    res2 = GameResults(
+        done=np.array([True]),
+        winners=np.array([1], np.int32),
+        draws=np.array([False]),
+        steps=10,
+    )
+    lg2.record(["a", "b", "c", "d"], res2)
+    # a, c, d all drew each other and lost to b from identical pre-game
+    # ratings -> identical post-game ratings.
+    assert lg2.ratings["a"] == lg2.ratings["c"] == lg2.ratings["d"]
+    assert lg2.ratings["b"] > 1200.0
