@@ -27,7 +27,7 @@ from ..strategy.cellular_toolkit import (
     move_towards_safe_place_cell,
     safe_directions_cell,
 )
-from ..strategy.moves import sort_directions
+from ..strategy.moves import safe_condition, sort_directions
 from ..engine.util import desired_position
 from .simple import SimpleAgentState, _has_rp_loop, simple_agent_init  # noqa: F401
 from .simple import simple_agent_init_batch  # noqa: F401
@@ -63,8 +63,8 @@ def simple_agent_cell_act(cs: CellState, agent_id, ast: SimpleAgentState, rand,
     in_danger = danger > 0
     m_safe = move_towards_safe_place_cell(dmap, r, danger)
     sx, sy = desired_position(ax, ay, m_safe)
-    a_ok = in_danger & _walkable_at(cs, sx, sy) & (
-        (_danger_at(dmap, sx, sy) == 0) | (_danger_at(dmap, sx, sy) >= 2)
+    a_ok = in_danger & _walkable_at(cs, sx, sy) & safe_condition(
+        _danger_at(dmap, sx, sy), 2
     )
     a_else = in_danger & ~a_ok
 
@@ -85,8 +85,8 @@ def simple_agent_cell_act(cs: CellState, agent_id, ast: SimpleAgentState, rand,
     rp_loop = _has_rp_loop(ast)
     m_enemy = move_towards_enemy_cell(cs, r, 7)
     ex, ey = desired_position(ax, ay, m_enemy)
-    b3_ok = _walkable_at(cs, ex, ey) & (
-        (_danger_at(dmap, ex, ey) == 0) | (_danger_at(dmap, ex, ey) >= 5)
+    b3_ok = _walkable_at(cs, ex, ey) & safe_condition(
+        _danger_at(dmap, ex, ey), 5
     )
     wood_adj = is_adjacent_wood_cell(cs, agent_id, 1)
 

@@ -54,7 +54,8 @@ def shard_env_batch(es: EnvState, mesh: Mesh) -> EnvState:
 
 
 def sharded_rollout(
-    mesh: Mesh, policy: Policy, n_steps: int, auto_reset: bool = True
+    mesh: Mesh, policy: Policy, n_steps: int, auto_reset: bool = True,
+    team_mode: bool = False, max_steps: int = 0
 ) -> Callable:
     """Compile a boards-sharded batched rollout.
 
@@ -62,9 +63,12 @@ def sharded_rollout(
     EnvState whose leading axis is divisible by the mesh size.  Outputs keep
     the input sharding; XLA inserts no collectives for the env itself
     (boards are independent) -- reductions belong to the caller/learner.
+    ``team_mode``/``max_steps`` forward to terminal detection (2v2
+    outcomes; step-cap draws so stalemated boards recycle).
     """
     batch_rollout = jax.vmap(
-        lambda e: rollout(e, policy, n_steps, auto_reset=auto_reset)
+        lambda e: rollout(e, policy, n_steps, auto_reset=auto_reset,
+                          team_mode=team_mode, max_steps=max_steps)
     )
     spec = P(BOARDS_AXIS)
     shardings = NamedSharding(mesh, spec)

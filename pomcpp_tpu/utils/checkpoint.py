@@ -33,10 +33,15 @@ def save_checkpoint(path: str, tree: Any, backend: str = "npz") -> None:
         return
     os.makedirs(path, exist_ok=True)
     leaves = jax.tree.leaves(tree)
-    np.savez(
-        os.path.join(path, _NPZ),
-        **{f"leaf_{i}": np.asarray(l) for i, l in enumerate(leaves)},
-    )
+    # Atomic replace: an interrupted save (preemption mid-write) must not
+    # truncate the only checkpoint a later --resume depends on.
+    tmp = os.path.join(path, _NPZ + ".tmp")
+    with open(tmp, "wb") as f:
+        np.savez(
+            f,
+            **{f"leaf_{i}": np.asarray(l) for i, l in enumerate(leaves)},
+        )
+    os.replace(tmp, os.path.join(path, _NPZ))
 
 
 def restore_checkpoint(path: str, template: Any, backend: str = "npz") -> Any:

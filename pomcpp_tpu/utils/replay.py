@@ -35,8 +35,15 @@ def record_game(game0, step_fn, moves_fn, n_steps: int):
     return stacked, np.stack(moves_hist)
 
 
+def _npz_path(path: str) -> str:
+    """np.savez appends '.npz' to bare paths; normalize so a record/view
+    round-trip with the same path string works."""
+    return path if path.endswith(".npz") else path + ".npz"
+
+
 def save_replay(path: str, states, moves) -> None:
     """Save a recorded game (or any stacked PyTree) + moves as one npz."""
+    path = _npz_path(path)
     leaves = jax.tree.leaves(states)
     os.makedirs(os.path.dirname(os.path.abspath(path)) or ".", exist_ok=True)
     np.savez(
@@ -49,11 +56,28 @@ def save_replay(path: str, states, moves) -> None:
 def load_replay(path: str, template: Any):
     """Load a replay against a single-state ``template`` PyTree.
 
-    Returns ``(states_stacked, moves)``.
+    Returns ``(states_stacked, moves)``.  The template supplies the tree
+    structure of ONE state; leaves are validated against it (count and
+    per-step shape) so a replay recorded from a different state type
+    fails loudly instead of unflattening into the wrong fields.
     """
-    data = np.load(path)
+    data = np.load(_npz_path(path))
     leaves, treedef = jax.tree.flatten(template)
-    loaded = [jnp.asarray(data[f"leaf_{i}"]) for i in range(len(leaves))]
+    n_saved = len([k for k in data.files if k.startswith("leaf_")])
+    if n_saved != len(leaves):
+        raise ValueError(
+            f"replay at {path} has {n_saved} leaves but the template has "
+            f"{len(leaves)} -- recorded from a different state type?"
+        )
+    loaded = []
+    for i, l in enumerate(leaves):
+        arr = data[f"leaf_{i}"]
+        if tuple(arr.shape[1:]) != tuple(np.shape(l)):
+            raise ValueError(
+                f"replay leaf_{i} per-step shape {tuple(arr.shape[1:])} does "
+                f"not match template shape {tuple(np.shape(l))}"
+            )
+        loaded.append(jnp.asarray(arr))
     return jax.tree.unflatten(treedef, loaded), data["moves"]
 
 
