@@ -163,7 +163,10 @@ def random_board_fast(key: jax.Array):
     """Cheap on-device board: like ``random_board`` but wood cells carry a
     hidden powerup independently with p=1/2 (binomial count) instead of the
     reference's exact ceil(n_wood/2) -- skips the per-reset argsort, which
-    dominates auto-reset cost at scale.  Same per-cell marginals.
+    dominates auto-reset cost at scale.  The marginal flag rate is close
+    but not identical: exact ceil(n/2)/n exceeds 1/2 for odd wood counts
+    (E[.] ~ 0.515 at n ~ Binomial(121, 1/7)), so fast boards average
+    ~1.4% fewer hidden powerups.
     """
     k_cell, k_sel, k_flag = jax.random.split(key, 3)
     tmp = jax.random.randint(k_cell, (NUM_CELLS,), 0, 7)

@@ -100,7 +100,7 @@ def fill_reach_map(cs: CellState, agent_id) -> ReachMap:
     src = cs.agent_x[agent_id] + BOARD_SIZE * cs.agent_y[agent_id]
     src_oh = jnp.arange(NUM_CELLS, dtype=I32) == src
     enterable = is_walkable(cs.board) | is_agent(cs.board)
-    expandable = (is_walkable(cs.board) & ~src_oh) | src_oh  # src expands
+    expandable = is_walkable(cs.board) | src_oh  # src expands even if not walkable
 
     dist0 = jnp.where(src_oh, 0, _BIG)
     root0 = jnp.zeros((NUM_CELLS,), I32)
