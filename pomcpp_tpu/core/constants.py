@@ -35,6 +35,7 @@ M_DOWN = 2   # y + 1
 M_LEFT = 3   # x - 1
 M_RIGHT = 4  # x + 1
 M_BOMB = 5
+NUM_MOVES = 6
 
 # Displacement tables indexed by move/direction code.
 MOVE_DX = (0, 0, 0, -1, 1, 0)

@@ -6,3 +6,4 @@ from .environment import (  # noqa: F401
     env_step_auto_reset,
     rollout,
 )
+from .gym_adapter import PommermanEnv  # noqa: F401
