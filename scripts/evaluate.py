@@ -40,7 +40,8 @@ def main() -> None:
     p.add_argument("--rotate", action="store_true",
                    help="play games/4 per seat rotation of the line-up and "
                         "aggregate per POLICY (seat position biases FFA "
-                        "win rates); reports per-name totals")
+                        "win rates); with --team, plays both team seatings "
+                        "(games/2 each) and aggregates per named pair")
     args = p.parse_args()
     if args.cpu:
         jax.config.update("jax_platforms", "cpu")
@@ -67,11 +68,17 @@ def main() -> None:
     elif "lookahead" in names:
         search_kwargs = {"depth": args.mcts_depth}
 
-    rotations = (
-        [tuple(names[-r:] + names[:-r]) for r in range(4)]
-        if args.rotate and not args.team
-        else [tuple(names)]
-    )
+    if args.rotate and args.team:
+        # 2v2 teams are {0,2} vs {1,3}: swapping seats 0<->1 and 2<->3
+        # swaps which team sits where, removing seat bias for team evals.
+        rotations = [
+            tuple(names),
+            (names[1], names[0], names[3], names[2]),
+        ]
+    elif args.rotate:
+        rotations = [tuple(names[-r:] + names[:-r]) for r in range(4)]
+    else:
+        rotations = [tuple(names)]
     games_per = args.games // len(rotations)
 
     counts = collections.Counter()
@@ -93,7 +100,10 @@ def main() -> None:
             elif args.team:
                 members = [i for i in (0, 1, 2, 3) if i % 2 == res.winners[g]]
                 label = "+".join(lineup[i] for i in members)
-                counts[f"team{res.winners[g]}({label})"] += 1
+                if args.rotate:  # aggregate by named pair across seat swaps
+                    counts[f"win({label})"] += 1
+                else:
+                    counts[f"team{res.winners[g]}({label})"] += 1
             elif args.rotate:
                 counts[f"win({lineup[res.winners[g]]})"] += 1
             else:
