@@ -3,5 +3,6 @@ from .mesh import (  # noqa: F401
     boards_mesh,
     shard_batch,
     shard_env_batch,
+    sharded_chunk_rollout,
     sharded_rollout,
 )

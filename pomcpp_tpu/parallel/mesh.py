@@ -22,6 +22,7 @@ from __future__ import annotations
 from typing import Callable, Sequence
 
 import jax
+import jax.numpy as jnp
 import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
@@ -77,3 +78,72 @@ def sharded_rollout(
         in_shardings=(shardings,),
         out_shardings=shardings,
     )
+
+
+def sharded_chunk_rollout(
+    mesh: Mesh, steps: int = 64, policy: str = "random", *,
+    interpret: bool = False, record: bool = False, auto_reset: bool = True,
+    inject: bool = False, inject_slots: tuple = (), prng_rand: bool = False,
+) -> Callable:
+    """Shard the fused Pallas chunk kernel (the production throughput path)
+    over the ``boards`` mesh.
+
+    Each device runs ``pomcpp_tpu.engine.pallas_step.pallas_rollout_chunk``
+    on its local board shard under ``jax.shard_map``; boards are independent,
+    so the program contains ZERO collectives — the multi-chip scale-out is
+    pure SPMD replication of the kernel grid (the TPU analogue of the
+    reference's N-independent-Environments thread mode,
+    unit_test/bboard/performance_test.cpp:71-94).
+
+    The in-kernel PRNG is decorrelated across devices by folding
+    ``axis_index('boards')`` into the seed (inside one device the kernel
+    already folds in ``program_id``).
+
+    Mirrors the chunk kernel's modes: ``policy`` random/harmless/simple,
+    ``inject`` + ``record`` for the test hooks (interpret-compatible),
+    ``inject_slots``/``prng_rand`` for the mixed-control PPO configuration.
+
+    Returns ``run(cs, seed, fsm_state=(), moves=())`` with the same output
+    structure as ``pallas_rollout_chunk``; ``cs``/``fsm_state`` leading axes
+    and ``moves`` axis 1 must be divisible by the mesh size.
+    """
+    from ..engine.pallas_step import pallas_rollout_chunk
+
+    simple = policy == "simple"
+    pb = P(BOARDS_AXIS)
+    pmv = P(None, BOARDS_AXIS)
+
+    def local(cs, seed, fsm_state, moves):
+        # Per-device PRNG decorrelation (odd multiplier; per-block
+        # decorrelation via program_id happens inside the kernel).
+        seed = (jnp.asarray(seed, jnp.int32)
+                + jax.lax.axis_index(BOARDS_AXIS).astype(jnp.int32)
+                * jnp.int32(1_000_003))
+        return pallas_rollout_chunk(
+            cs, seed, steps=steps, interpret=interpret, policy=policy,
+            moves=(moves if inject else None),
+            record=record, auto_reset=auto_reset,
+            fsm_state=(fsm_state if simple else None),
+            inject_slots=tuple(inject_slots), prng_rand=prng_rand,
+        )
+
+    in_specs = (pb, P(), pb if simple else P(), pmv if inject else P())
+    if simple and record:
+        out_specs = (pb, pmv, pmv, pb)
+    elif simple:
+        out_specs = (pb, pb)
+    elif record:
+        out_specs = (pb, pmv, pmv)
+    else:
+        out_specs = pb
+
+    # check_vma=False: pallas_call's out_shape carries no varying-mesh-axes
+    # annotation; the map is zero-collective (boards independent), so the
+    # check has nothing to validate anyway.
+    fn = jax.shard_map(local, mesh=mesh, in_specs=in_specs,
+                       out_specs=out_specs, check_vma=False)
+
+    def run(cs, seed, fsm_state=(), moves=()):
+        return fn(cs, seed, fsm_state, moves)
+
+    return jax.jit(run, static_argnames=())
