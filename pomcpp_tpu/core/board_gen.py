@@ -151,11 +151,21 @@ def random_board(key: jax.Array):
     return board, hidden
 
 
-def random_state(key: jax.Array) -> State:
-    """On-device fresh game state: random board + agents in corners 0..3."""
-    board, hidden = random_board(key)
+def random_state(key: jax.Array, randomize_positions: bool = False) -> State:
+    """On-device fresh game state: random board + agents in corners.
+
+    ``randomize_positions`` permutes the corner assignment from the key --
+    the reference's ``MakeGame(randomizePositions=true)``
+    (environment.cpp:53-66, the ``std::random_shuffle`` at :60; unseeded
+    there, keyed here).  Default off = reference default + parity mode.
+    """
+    k_board, k_perm = jax.random.split(key)
+    board, hidden = random_board(k_board if randomize_positions else key)
     s = empty_state()
     s = s._replace(board=board, hidden_pow=hidden)
+    if randomize_positions:
+        p = jax.random.permutation(k_perm, 4)
+        return put_agents_in_corners(s, p[0], p[1], p[2], p[3])
     return put_agents_in_corners(s, 0, 1, 2, 3)
 
 
@@ -182,7 +192,8 @@ def random_board_fast(key: jax.Array):
     return board, hidden
 
 
-def random_cell_state(key: jax.Array, fast_boards: bool = True):
+def random_cell_state(key: jax.Array, fast_boards: bool = True,
+                      randomize_positions: bool = False):
     """On-device fresh plane-encoded game state (engine.cellular).
 
     ``fast_boards=True`` (the default, used by ``env_reset(engine=
@@ -190,12 +201,23 @@ def random_cell_state(key: jax.Array, fast_boards: bool = True):
     Binomial(n_wood, 1/2) via ``random_board_fast`` instead of the
     reference's exact ceil(n_wood/2); pass ``fast_boards=False`` for the
     reference's count distribution (costs an argsort per reset).
+
+    ``randomize_positions`` permutes the corner assignment from the key
+    (reference ``MakeGame``'s optional ``std::random_shuffle``,
+    environment.cpp:53-66) so training sees every seat; default off keeps
+    the reference default / parity behaviour.
     """
     from ..engine.cellular import empty_cell_state
 
+    k_board, k_perm = jax.random.split(key)
+    board_key = k_board if randomize_positions else key
     board, hidden = (
-        random_board_fast(key) if fast_boards else random_board(key)
+        random_board_fast(board_key) if fast_boards
+        else random_board(board_key)
     )
     cs = empty_cell_state()._replace(board=board, hidden_pow=hidden)
     # put_agents_in_corners is duck-typed over board/agent_x/agent_y.
+    if randomize_positions:
+        p = jax.random.permutation(k_perm, 4)
+        return put_agents_in_corners(cs, p[0], p[1], p[2], p[3])
     return put_agents_in_corners(cs, 0, 1, 2, 3)

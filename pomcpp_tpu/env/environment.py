@@ -53,11 +53,12 @@ def _step_fn(game):
     return cellular_step if isinstance(game, CellState) else step
 
 
-def _fresh(key: jax.Array, engine: str = "exact") -> EnvState:
+def _fresh(key: jax.Array, engine: str = "exact",
+           randomize_positions: bool = False) -> EnvState:
     reset_key, next_key = jax.random.split(key)
     make = random_cell_state if engine == "cellular" else random_state
     return EnvState(
-        game=make(reset_key),
+        game=make(reset_key, randomize_positions=randomize_positions),
         done=jnp.zeros((), bool),
         winner=jnp.full((), -1, I32),
         is_draw=jnp.zeros((), bool),
@@ -65,14 +66,21 @@ def _fresh(key: jax.Array, engine: str = "exact") -> EnvState:
     )
 
 
-def env_reset(key: jax.Array, engine: str = "exact") -> EnvState:
+def env_reset(key: jax.Array, engine: str = "exact",
+              randomize_positions: bool = False) -> EnvState:
     """Fresh single game; vmap over keys for a batch.
 
     ``engine="cellular"`` uses the plane-encoded production state
     (engine/cellular.py) -- the TPU fast path; ``"exact"`` uses the
     queue-encoded conformance state (engine/step.py).
+
+    ``randomize_positions`` permutes which agent sits in which corner,
+    drawn from the key -- the reference ``Environment::MakeGame``'s
+    optional ``std::random_shuffle`` of corner assignment
+    (environment.cpp:53-66).  Off by default (reference default; parity
+    and the ported tests rely on fixed seats).
     """
-    return _fresh(key, engine)
+    return _fresh(key, engine, randomize_positions)
 
 
 def env_reset_np(seed: int = 0x1337, **kw) -> EnvState:
@@ -143,21 +151,23 @@ def env_step(es: EnvState, moves, team_mode: bool = False,
 
 
 def env_step_auto_reset(es: EnvState, moves, team_mode: bool = False,
-                        max_steps: int = 0) -> EnvState:
+                        max_steps: int = 0,
+                        randomize_positions: bool = False) -> EnvState:
     """``env_step``, but a game that finished restarts on its next step.
 
     The episode outcome is readable for exactly one step (the step that set
-    ``done``); standard batched-RL semantics.
+    ``done``); standard batched-RL semantics.  ``randomize_positions``
+    applies to the restarted games (see ``env_reset``).
     """
     engine = "cellular" if isinstance(es.game, CellState) else "exact"
-    fresh = _fresh(es.key, engine)
+    fresh = _fresh(es.key, engine, randomize_positions)
     stepped = env_step(es, moves, team_mode, max_steps)
     return jax.tree.map(lambda f, s: jnp.where(es.done, f, s), fresh, stepped)
 
 
 def env_step_auto_reset_batch(
     es: EnvState, moves, team_mode: bool = False, fused: bool = False,
-    max_steps: int = 0
+    max_steps: int = 0, randomize_positions: bool = False
 ) -> EnvState:
     """Batched ``env_step_auto_reset`` over a leading boards axis.
 
@@ -176,14 +186,17 @@ def env_step_auto_reset_batch(
         )
         game = pallas_step(es.game, moves)
         game = game._replace(timestep=game.timestep + 1)
-        return _merge_done_and_reset(es, game, team_mode, max_steps)
+        return _merge_done_and_reset(es, game, team_mode, max_steps,
+                                     randomize_positions)
     return jax.vmap(
-        lambda e, m: env_step_auto_reset(e, m, team_mode, max_steps)
+        lambda e, m: env_step_auto_reset(e, m, team_mode, max_steps,
+                                         randomize_positions)
     )(es, moves)
 
 
 def _merge_done_and_reset(es: EnvState, game, team_mode: bool,
-                          max_steps: int) -> EnvState:
+                          max_steps: int,
+                          randomize_positions: bool = False) -> EnvState:
     """Batched done-latch + auto-reset merge shared by the fused paths.
 
     ``game`` is the already-stepped batch (timestep advanced).  Boards
@@ -201,7 +214,9 @@ def _merge_done_and_reset(es: EnvState, game, team_mode: bool,
     stepped = jax.tree.map(
         lambda a, b: jnp.where(_bcast(es.done, a), a, b), es, nxt
     )
-    fresh = jax.vmap(lambda k: _fresh(k, "cellular"))(es.key)
+    fresh = jax.vmap(
+        lambda k: _fresh(k, "cellular", randomize_positions)
+    )(es.key)
     return jax.tree.map(
         lambda f, s: jnp.where(_bcast(es.done, f), f, s), fresh, stepped
     )
@@ -211,6 +226,7 @@ def env_step_auto_reset_batch_fsm(
     es: EnvState, learner_moves, fsm_state, learner_slots: tuple,
     seed, team_mode: bool = False, max_steps: int = 0,
     interpret: bool = False, rand_moves=None,
+    randomize_positions: bool = False,
 ):
     """Fused mixed-control step: in-kernel SimpleAgent opponents + injected
     learner moves, ONE Pallas launch for the whole batch.
@@ -238,7 +254,9 @@ def env_step_auto_reset_batch_fsm(
         auto_reset=False, fsm_state=fsm_state, inject_slots=slots,
         prng_rand=rand_moves is None, interpret=interpret,
     )
-    return _merge_done_and_reset(es, game, team_mode, max_steps), fsm2
+    return _merge_done_and_reset(
+        es, game, team_mode, max_steps, randomize_positions
+    ), fsm2
 
 
 def act_all(policy: Policy, key: jax.Array, game: State) -> jax.Array:

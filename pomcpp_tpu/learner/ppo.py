@@ -75,6 +75,13 @@ class PPOConfig(NamedTuple):
                                   # stalemate is NOT a win, and without
                                   # this the policy happily dances out the
                                   # clock (~16% of eval games timed out).
+    randomize_positions: bool = False  # permute corner seats on every
+                                  # auto-reset (reference MakeGame's
+                                  # std::random_shuffle, environment.cpp:60)
+                                  # so the learner trains in all seats --
+                                  # eval rotates seats, and a fixed-seat-
+                                  # trained net is out of distribution in
+                                  # 3 of 4 of them (VERDICT r2 item 4).
 
 
 class TrainState(NamedTuple):
@@ -205,6 +212,7 @@ def collect_rollout(params, es: EnvState, cfg: PPOConfig):
         es2 = env_step_auto_reset(
             es._replace(key=k_next), moves, team_mode=cfg.team_mode,
             max_steps=cfg.max_episode_steps,
+            randomize_positions=cfg.randomize_positions,
         )
 
         died = alive_before & jnp.where(
@@ -301,6 +309,7 @@ def collect_rollout_batch(params, es: EnvState, cfg: PPOConfig, opp_state=None):
                 es._replace(key=k_next), moves, opp, slots, seed,
                 team_mode=cfg.team_mode,
                 max_steps=cfg.max_episode_steps,
+                randomize_positions=cfg.randomize_positions,
             )
         else:
             if cfg.opponent:
@@ -316,6 +325,7 @@ def collect_rollout_batch(params, es: EnvState, cfg: PPOConfig, opp_state=None):
                 es._replace(key=k_next), moves,
                 team_mode=cfg.team_mode, fused=cfg.fused_env,
                 max_steps=cfg.max_episode_steps,
+                randomize_positions=cfg.randomize_positions,
             )
         if cfg.opponent == "simple":
             # A board that auto-reset starts its opponents from fresh FSMs.

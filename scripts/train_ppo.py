@@ -59,6 +59,10 @@ def main() -> None:
     p.add_argument("--learner-slots", type=str, default="0",
                    help="comma-separated net-controlled agent ids "
                         "(only with --opponent)")
+    p.add_argument("--randomize-positions", action="store_true",
+                   help="permute corner seats on every reset (reference "
+                        "MakeGame's random_shuffle) so the learner trains "
+                        "in all four seats")
     args = p.parse_args()
     if args.cpu:
         jax.config.update("jax_platforms", "cpu")
@@ -75,15 +79,17 @@ def main() -> None:
                     opponent=args.opponent,
                     learner_slots=tuple(
                         int(s) for s in args.learner_slots.split(",")
-                    ) if args.opponent else (0, 1, 2, 3))
+                    ) if args.opponent else (0, 1, 2, 3),
+                    randomize_positions=args.randomize_positions)
     ts = ppo_init(jax.random.PRNGKey(args.seed), cfg)
     if args.resume and args.ckpt_dir and os.path.exists(args.ckpt_dir):
         ts = restore_checkpoint(args.ckpt_dir, ts)
         print(f"resumed from {args.ckpt_dir} at update {int(ts.update_count)}")
 
-    es = jax.vmap(lambda k: env_reset(k, engine="cellular"))(
-        jax.random.split(jax.random.PRNGKey(args.seed + 1), args.batch)
-    )
+    es = jax.vmap(
+        lambda k: env_reset(k, engine="cellular",
+                            randomize_positions=args.randomize_positions)
+    )(jax.random.split(jax.random.PRNGKey(args.seed + 1), args.batch))
     mesh = boards_mesh()
     if args.batch % len(jax.devices()) == 0:
         es = shard_env_batch(es, mesh)

@@ -171,3 +171,75 @@ def test_max_steps_cap_draws_out_stalemates():
     assert int(es_cap.game.timestep) == 9
     # Reference semantics (no cap) untouched.
     assert not bool(es_ref.done) and int(es_ref.game.timestep) == 11
+
+
+def test_randomized_positions_all_24_permutations():
+    """env_reset(randomize_positions=True) permutes corner seats from the
+    key (reference MakeGame's std::random_shuffle, environment.cpp:53-66):
+    all 24 permutations occur, board plane and agent coords stay coherent,
+    and the default stays fixed-corner (VERDICT r2 item 4)."""
+    import jax.numpy as jnp
+
+    from pomcpp_tpu.core.constants import BOARD_SIZE, C_AGENT0
+
+    n = 512
+    keys = jax.random.split(jax.random.PRNGKey(123), n)
+    es = jax.jit(jax.vmap(
+        lambda k: env_reset(k, engine="cellular", randomize_positions=True)
+    ))(keys)
+
+    ax = np.asarray(es.game.agent_x)
+    ay = np.asarray(es.game.agent_y)
+    board = np.asarray(es.game.board)
+    last = BOARD_SIZE - 1
+    corners = {(0, 0): 0, (last, 0): 1, (last, last): 2, (0, last): 3}
+
+    perms = set()
+    for b in range(n):
+        seat = [None] * 4
+        for a in range(4):
+            c = corners[(int(ax[b, a]), int(ay[b, a]))]
+            seat[c] = a
+            # Board plane agrees with the coordinate arrays.
+            cell = int(ax[b, a]) + BOARD_SIZE * int(ay[b, a])
+            assert board[b, cell] == C_AGENT0 + a
+        perms.add(tuple(seat))
+    assert len(perms) == 24, f"only {len(perms)} of 24 permutations seen"
+
+    # Default (and parity mode) remains fixed corners 0..3.
+    es0 = jax.vmap(lambda k: env_reset(k, engine="cellular"))(keys[:8])
+    assert np.array_equal(
+        np.asarray(es0.game.agent_x) > 0,
+        np.tile([False, True, True, False], (8, 1)),
+    )
+    assert np.array_equal(
+        np.asarray(es0.game.agent_y) > 0,
+        np.tile([False, False, True, True], (8, 1)),
+    )
+
+
+def test_randomized_positions_on_auto_reset():
+    """Auto-reset with randomize_positions reseats agents: force done
+    boards and check restarted games show a non-identity permutation
+    somewhere in the batch."""
+    import jax.numpy as jnp
+
+    n = 64
+    keys = jax.random.split(jax.random.PRNGKey(7), n)
+    es = jax.vmap(lambda k: env_reset(k, engine="cellular"))(keys)
+    es = es._replace(done=jnp.ones((n,), bool))
+    idle = jnp.zeros((n, 4), jnp.int32)
+
+    from pomcpp_tpu.env.environment import env_step_auto_reset_batch
+
+    es2 = jax.jit(
+        lambda e, m: env_step_auto_reset_batch(
+            e, m, randomize_positions=True
+        )
+    )(es, idle)
+    ax = np.asarray(es2.game.agent_x)
+    ay = np.asarray(es2.game.agent_y)
+    # Fresh boards (timestep reset) ...
+    assert (np.asarray(es2.game.timestep) == 0).all()
+    # ... with at least one board whose agent 0 is NOT in corner 0.
+    assert ((ax[:, 0] != 0) | (ay[:, 0] != 0)).any()
