@@ -153,6 +153,42 @@ def state_to_dump(s: State) -> dict[str, Any]:
     }
 
 
+def dump_to_text(dump: dict) -> str:
+    """Serialize a dump dict to the oracle's ``loadenum2`` stdin format."""
+    parts = [" ".join(str(int(v)) for v in dump["board"])]
+    for a in dump["agents"]:
+        parts.append(" ".join(str(int(v)) for v in a))
+    parts.append(str(len(dump["bombs"])))
+    for b in dump["bombs"]:
+        parts.append(" ".join(str(int(v)) for v in b))
+    parts.append(str(len(dump["flames"])))
+    for f in dump["flames"]:
+        parts.append(" ".join(str(int(v)) for v in f))
+    parts.append(str(int(dump["alive"])))
+    return "\n".join(parts) + "\n"
+
+
+def enum2_pair(dump: dict, agent_a: int, agent_b: int):
+    """Run the oracle's 2-step 36x36 joint-move sweep over two agents on an
+    injected state.  Returns ``(echoed_base, [1296 dumps])`` where sweep
+    index ``code`` applies step-1 moves ``(code%36 % 6, code%36 // 6)`` and
+    step-2 moves ``(code//36 % 6, code//36 // 6)`` to ``(agent_a, agent_b)``
+    (other agents IDLE)."""
+    import subprocess
+
+    out = subprocess.run(
+        [ORACLE_BIN, "loadenum2", str(agent_a), str(agent_b)],
+        input=dump_to_text(dump),
+        capture_output=True,
+        text=True,
+        timeout=300,
+    )
+    assert out.returncode == 0, out.stderr
+    dumps = [json.loads(l) for l in out.stdout.splitlines() if l.strip()]
+    assert len(dumps) == 1297, len(dumps)
+    return dumps[0], dumps[1:]
+
+
 def diff_dumps(ref: dict, mine: dict) -> list[str]:
     """Human-readable field-level differences between two dumps."""
     out = []

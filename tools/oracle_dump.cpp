@@ -147,6 +147,76 @@ int main(int argc, char** argv)
         return 0;
     }
 
+    if (std::string(argv[1]) == "loadenum2")
+    {
+        // 2-step exhaustive sweep over TWO interacting agents on an
+        // injected state (the phase-2 bounce-back semantics span
+        // consecutive steps; VERDICT r2 item 3).  argv[2]/argv[3] are the
+        // two agent ids; all 36x36 (step1, step2) joint-move pairs of
+        // those agents are applied (other agents IDLE).  State comes from
+        // stdin as whitespace ints: 121 raw board ints, 4x7 agent tuples
+        // (x y dead bombCount maxBombCount bombStrength canKick), nbombs +
+        // nx6 bomb tuples (x y id strength time dir), nflames + nx4 flame
+        // tuples (x y timeLeft strength), aliveAgents.  Echoes the loaded
+        // state, then dumps the state after each 2-step sequence (1296).
+        int aa = (int)seed;           // argv[2] reused as agent id a
+        int ab = std::atoi(argv[3]);  // agent id b
+        auto base = std::make_unique<State>();
+        for (int y = 0; y < BOARD_SIZE; y++)
+            for (int x = 0; x < BOARD_SIZE; x++)
+                if (std::scanf("%d", &base->board[y][x]) != 1) return 3;
+        for (int i = 0; i < AGENT_COUNT; i++)
+        {
+            AgentInfo& a = base->agents[i];
+            int dead, kickf;
+            if (std::scanf("%d %d %d %d %d %d %d", &a.x, &a.y, &dead,
+                           &a.bombCount, &a.maxBombCount, &a.bombStrength,
+                           &kickf) != 7) return 3;
+            a.dead = dead != 0;
+            a.canKick = kickf != 0;
+        }
+        int nb;
+        if (std::scanf("%d", &nb) != 1) return 3;
+        for (int i = 0; i < nb; i++)
+        {
+            int x, y, id, st, tm, dir;
+            if (std::scanf("%d %d %d %d %d %d", &x, &y, &id, &st, &tm, &dir) != 6)
+                return 3;
+            Bomb b = 0;
+            SetBombPosition(b, x, y);
+            SetBombID(b, id);
+            SetBombStrength(b, st);
+            SetBombTime(b, tm);
+            SetBombDirection(b, (Direction)dir);
+            base->bombs.AddElem(b);
+        }
+        int nf;
+        if (std::scanf("%d", &nf) != 1) return 3;
+        for (int i = 0; i < nf; i++)
+        {
+            Flame f;
+            if (std::scanf("%d %d %d %d", &f.position.x, &f.position.y,
+                           &f.timeLeft, &f.strength) != 4) return 3;
+            base->flames.AddElem(f);
+        }
+        if (std::scanf("%d", &base->aliveAgents) != 1) return 3;
+
+        dumpState(*base);
+        Move m[AGENT_COUNT];
+        for (int code = 0; code < 36 * 36; code++)
+        {
+            State s = *base;  // POD copy
+            int c1 = code % 36, c2 = code / 36;
+            for (int i = 0; i < AGENT_COUNT; i++) m[i] = Move::IDLE;
+            m[aa] = (Move)(c1 % 6); m[ab] = (Move)(c1 / 6);
+            Step(&s, m);
+            m[aa] = (Move)(c2 % 6); m[ab] = (Move)(c2 / 6);
+            Step(&s, m);
+            dumpState(s);
+        }
+        return 0;
+    }
+
     bool kick = std::string(argv[1]) == "kicktraj";
     int steps = argc > 3 ? std::atoi(argv[3]) : 100;
 
