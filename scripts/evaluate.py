@@ -40,8 +40,9 @@ def main() -> None:
     p.add_argument("--rotate", action="store_true",
                    help="play games/4 per seat rotation of the line-up and "
                         "aggregate per POLICY (seat position biases FFA "
-                        "win rates); with --team, plays both team seatings "
-                        "(games/2 each) and aggregates per named pair")
+                        "win rates); with --team, plays all 4 team "
+                        "seatings (diagonal swap x within-team swap, "
+                        "games/4 each) and aggregates per named pair")
     args = p.parse_args()
     if args.cpu:
         jax.config.update("jax_platforms", "cpu")
@@ -69,11 +70,18 @@ def main() -> None:
         search_kwargs = {"depth": args.mcts_depth}
 
     if args.rotate and args.team:
-        # 2v2 teams are {0,2} vs {1,3}: swapping seats 0<->1 and 2<->3
-        # swaps which team sits where, removing seat bias for team evals.
+        # 2v2 teams are {0,2} vs {1,3}.  Four seatings cover both which
+        # DIAGONAL a team sits on (swap 0<->1, 2<->3) and which corner of
+        # its diagonal each MEMBER takes (swap 0<->2, 1<->3) -- without
+        # the within-team swaps a heterogeneous pair (e.g. ppo+simple)
+        # would keep each member in a fixed corner, leaving residual
+        # positional bias (ADVICE r2).
+        a, b_, c, d = names
         rotations = [
-            tuple(names),
-            (names[1], names[0], names[3], names[2]),
+            (a, b_, c, d),
+            (b_, a, d, c),   # teams swap diagonals
+            (c, d, a, b_),   # members swap within teams
+            (d, c, b_, a),   # both
         ]
     elif args.rotate:
         rotations = [tuple(names[-r:] + names[:-r]) for r in range(4)]
@@ -99,10 +107,14 @@ def main() -> None:
                 counts["draw"] += 1
             elif args.team:
                 members = [i for i in (0, 1, 2, 3) if i % 2 == res.winners[g]]
-                label = "+".join(lineup[i] for i in members)
-                if args.rotate:  # aggregate by named pair across seat swaps
+                if args.rotate:
+                    # Aggregate by named pair across all 4 seatings: build
+                    # the label in canonical (sorted) member order so e.g.
+                    # ppo+simple and simple+ppo count as one pair.
+                    label = "+".join(sorted(lineup[i] for i in members))
                     counts[f"win({label})"] += 1
                 else:
+                    label = "+".join(lineup[i] for i in members)
                     counts[f"team{res.winners[g]}({label})"] += 1
             elif args.rotate:
                 counts[f"win({lineup[res.winners[g]]})"] += 1
