@@ -8,14 +8,17 @@ kernel tiles, so SimpleAgent self-play -- the reference's checked-in
 benchmark configuration (performance_test.cpp:38) -- runs entirely inside
 the fused chunk kernel with state resident in VMEM.
 
-The throughput trick is the 4-agent SWAR BFS: all four agents' distance
-fields live in ONE [block,128] plane as 8-bit bytes and relax together
-(classic SWAR compare-select with per-byte guard bits), so one relaxation
-round costs ~24 vector ops for all agents instead of 4x that.  Direction
-priority (DOWN, UP, RIGHT, LEFT -- the reference's TryAdd order,
-strategy.cpp:82-89) is preserved by relaxing directions sequentially with
-strict less-than, exactly like strategy/cellular_toolkit.fill_reach_map;
-root labels ride in a second byte-packed plane.
+The throughput trick is the 4-agent SWAR BFS: all four agents' VISITED
+masks live in ONE [block,128] plane as 8-bit byte fields and the wave
+expands for all of them together.  The FSM consumes the BFS only through
+reachability predicates and root ranks (never distance magnitudes), so
+the wave needs no SWAR distance arithmetic at all -- the round body is
+pure AND/OR/shift, ~40% fewer ops than the compare-select distance
+version it replaced (r3).  Direction priority (DOWN, UP, RIGHT, LEFT --
+the reference's TryAdd order, strategy.cpp:82-89) is preserved by
+expanding directions sequentially with first-writer-wins, exactly like
+strategy/cellular_toolkit.fill_reach_map; root labels ride in a second
+byte-packed plane.
 
 Equivalence with simple_agent_cell_joint (same rand stream) is asserted in
 tests/test_pallas_fsm.py (interpret mode).
@@ -46,12 +49,13 @@ from ..core.constants import (
 from ..core.state import I32
 from .pallas_step import LANES, _SKIP, _is_agent, _lane_iota, _push
 
-# SWAR constants (int32 bit patterns; field i = byte i = agent i).
-_WALLB = 0x7E
-_WALL4 = np.int32(np.uint32(0x7E7E7E7E))
-_ONE4 = np.int32(np.uint32(0x01010101))
-_H4 = np.int32(np.uint32(0x80808080))
+# SWAR constants (int32 bit patterns).
 _BYTE = 0xFF
+# BFS combined-plane 3-bit fields: bit 3i = visited(agent i), bits
+# [3i+1, 3i+3) = root rank.
+_VIS3 = np.int32(0b001001001001)
+_RANK3 = np.int32(0b110110110110)
+_VR4 = np.int32(0x04040404)  # bit 2 of each byte: vis flag in vis|rank reads
 
 # BFS relaxation priority = reference TryAdd order (strategy.cpp:82-89):
 # DOWN, UP, RIGHT, LEFT; rank r encodes the root move with that priority.
@@ -127,13 +131,33 @@ def danger_map_tile(btimer, bstr, valid):
 
 
 def swar_bfs(board, ac, valid):
-    """4-agent BFS -> (D, R): byte-packed distances and root ranks.
+    """4-agent BFS -> (V, R): byte-packed visited masks and root ranks.
 
-    D byte i: BFS distance from agent i (0x7E = unreachable/wall).
-    R byte i: root rank (index into _RANK_TO_MOVE) of the first move from
-    agent i's cell on the shortest path; only meaningful where 0 < D < 0x7E.
-    Semantics == cellular_toolkit.fill_reach_map per agent (priority
-    tie-breaks included: directions relax sequentially with strict <).
+    V byte i: 0xFF iff the cell is reached from agent i (the SOURCE cell
+    itself included).  R byte i: root rank (index into _RANK_TO_MOVE) of
+    the first move from agent i's cell on the shortest path; only
+    meaningful where V is set and the cell is not the source.
+
+    The FSM consumes BFS results ONLY through reachability predicates and
+    root ranks (fsm_block reads ``df != 0 && df < 0x7E`` and the rank --
+    never a distance magnitude), so the wave tracks (visited, rank)
+    packed into ONE plane as 3-bit fields (bit 3i = visited from agent i,
+    bits [3i+1, 3i+3) = root rank).  The round cost is dominated by
+    ``_push`` lane rotations (~100 ns each vs ~10 ns for a fused
+    element-wise op -- measured via scripts/profile_fsm.py attribution;
+    the r2 distance version needed 8 pushes/round, two per direction);
+    packing lets each direction push the combined field ONCE, halving
+    the pushes.  All remaining ops are carry-free bitwise.  Visit order
+    is identical to the distance version -- a cell enters V exactly at
+    round == its BFS distance, directions relax sequentially
+    (DOWN/UP/RIGHT/LEFT) with first-writer-wins -- so rank tie-breaks
+    still match cellular_toolkit.fill_reach_map bit-for-bit.
+
+    NOTE an exact early exit cannot beat run-to-convergence here: the
+    loop terminates per 128-board BLOCK, and on measured self-play states
+    ~21% of boards have an unreachable consumed cell (certifiable only at
+    convergence), capping the block-max ceiling at ~1.07x
+    (scripts/bfs_round_histogram.py; VERDICT r2 item 2 negative result).
     """
     block = board.shape[0]
     lane = _lane_iota(block)
@@ -141,67 +165,123 @@ def swar_bfs(board, ac, valid):
     enterable = walk | (_is_agent(board) & valid)
 
     oh_src = [lane == ac[:, i : i + 1] for i in range(4)]
-    src_bytes = _mkw_bytes(oh_src)
+    src3 = jnp.zeros((block, LANES), I32)
+    for i in range(4):
+        src3 = src3 | (oh_src[i].astype(I32) << (3 * i))
 
-    d0 = _WALL4 & ~src_bytes  # walls everywhere, 0 at each src field
-    r0 = jnp.zeros((block, LANES), I32)
-    ent_h = jnp.where(enterable, _H4, 0)
+    # --- 2-board row packing -------------------------------------------
+    # The wave is vector-throughput-bound (vreg count per op); the 12-bit
+    # field group of board b and board b+block/2 fit side by side in one
+    # i32 ([12h, 12h+12) for half h), so the whole BFS runs on HALF the
+    # sublane rows -- every round op touches half the vregs.  Pure
+    # bitwise fields make this free of carry/guard concerns; pack and
+    # unpack are a handful of one-time ops.
+    halves = 2 if block % 2 == 0 else 1
+    Q = block // halves
+    vis_m = _VIS3
+    rank_m = _RANK3
+    for h in range(1, halves):
+        vis_m = vis_m | (_VIS3 << (12 * h))
+        rank_m = rank_m | (_RANK3 << (12 * h))
 
-    # Per-direction invariants: rank value/mask planes for src-adjacent
-    # cells (their root is the move that steps off the source).
-    sam = {}
+    def pk(x12):
+        """[block,128] rows of <=12-bit values -> [Q,128] packed halves."""
+        if halves == 1:
+            return x12
+        return x12[:Q] | (x12[Q:] << 12)
+
+    walk12 = jnp.where(walk, 0xFFF, 0)
+    ent12 = jnp.where(enterable, 0xFFF, 0)
+    walk_p = pk(walk12)
+    ent_p = pk(ent12)
+    src_p = pk(src3)
+
+    # Per-direction invariants for src-adjacent cells (their root is the
+    # move that steps off the source): keep cand's visited bit, override
+    # the rank bits with this direction's rank.
+    nrs = {}
     sav = {}
     for rank, mv in enumerate(_PRIORITY):
-        m = _push(src_bytes, mv, 0)
-        sam[mv] = m
-        sav[mv] = m & (rank * _ONE4)
+        s = _push(src_p, mv, 0)            # vis bits of src-adjacent cells
+        samm = (s << 3) - s                # expand to full 0b111 fields
+        nrs[mv] = ~(samm & rank_m)
+        sav[mv] = samm & ((rank << 1) * vis_m)
+
+    # Rounds are cheap (4 pushes + ~50 fused bitwise ops) but each
+    # while_loop iteration carries a large fixed cost (scalar-loop
+    # round trip + the cross-lane `any` reduction) -- measured ~650
+    # ns/round of which <200 ns is the actual vector work.  Unrolling
+    # UNROLL rounds per body amortizes that overhead; rounds after
+    # convergence are exact no-ops (the wave is stable), so the only
+    # waste is up to UNROLL-1 idle rounds at the end.
+    UNROLL = int(_os.environ.get("FSM_BFS_UNROLL", "4"))
+
+    def one_round(c):
+        # Jacobi within the round: the wave expands from the ROUND-START
+        # visited set (so a cell reached this round expands next round),
+        # but `new` tests against the accumulating c -- an earlier
+        # direction wins the round's ties, the toolkit's exact rule.
+        # Sources expand even though their cells are not walkable
+        # (agents block paths but are BFS targets).
+        exp = (c & walk_p) | src_p
+        newacc = jnp.zeros_like(c)
+        for mv in _PRIORITY:
+            cand = _push(exp, mv, 0)       # parent's vis bit + rank bits
+            new = (cand & ~c) & vis_m & ent_p  # vis bits of first visits
+            newacc = newacc | new
+            mm = (new << 3) - new          # full 0b111 field masks
+            cand = (cand & nrs[mv]) | sav[mv]
+            c = (c & ~mm) | (cand & mm)
+        return c, newacc
 
     def body(carry):
-        d, r, _, k = carry
-        # Jacobi within the round: candidates push from the ROUND-START
-        # planes but compare against the accumulating d -- exactly the
-        # toolkit's update rule, so root tie-breaks match bit-for-bit.
-        d_in, r_in = d, r
-        # Source fields expand regardless of walkability; the override is
-        # a BITWISE blend -- subtracting a per-field constant here borrows
-        # across fields when the src cell is walkable (a dead agent's
-        # stale position: its field holds 0, 0 - 0x7E underflows into the
-        # next agent's byte and propagates fake distances).
-        masked = jnp.where(walk, d_in, _WALL4)
-        masked = (masked & ~src_bytes) | (d_in & src_bytes)
-        for mv in _PRIORITY:
-            cand = _push(masked, mv, _WALL4) + _ONE4
-            cand_r = _push(r_in, mv, 0)
-            cand_r = (cand_r & ~sam[mv]) | sav[mv]
-            ge = ((cand | _H4) - d) & _H4  # byte i set iff d_i <= cand_i
-            lt = (~ge) & ent_h            # cand < d, enterable
-            mm = lt | (lt - ((lt >> 7) & _ONE4))
-            d = (d & ~mm) | (cand & mm)
-            r = (r & ~mm) | (cand_r & mm)
-        changed = jnp.any(d != d_in)
-        return d, r, changed.astype(I32), k + 1
+        c, _, k = carry
+        newacc = jnp.zeros_like(c)
+        for _ in range(UNROLL):
+            c, na = one_round(c)
+            newacc = newacc | na
+        # ONE cross-lane reduction per UNROLL rounds (reductions cost
+        # ~an order more than element-wise ops).
+        return c, jnp.any(newacc != 0).astype(I32), k + UNROLL
 
-    # FSM_BFS_FIXED=N (profiling only): run exactly N rounds, no
-    # convergence check -- isolates per-round cost vs round count.
+    # FSM_BFS_FIXED=N (profiling only): run exactly ceil(N/UNROLL)
+    # bodies, no convergence check -- isolates per-round cost vs count.
     _fixed = int(_os.environ.get("FSM_BFS_FIXED", "0"))
     if _fixed:
         def cond(carry):
-            return carry[3] < _fixed
+            return carry[2] < _fixed
     else:
-        # The convergence check is the real terminator (measured ~23
-        # rounds on generated boards; one round advances every frontier
-        # by one cell).  The cap only exists as a compile-time bound and
-        # must cover the worst possible shortest path on the board
-        # (a serpentine corridor can reach ~120 cells), else far cells
-        # would silently read unreachable and diverge from
+        # The convergence check is the real terminator (measured mean ~16
+        # rounds per board, ~27 per 128-board block; histogram in
+        # scripts/bfs_round_histogram.py).  The cap only exists as a
+        # compile-time bound and must cover the worst possible shortest
+        # path on the board (a serpentine corridor can reach ~120 cells),
+        # else far cells would silently read unreachable and diverge from
         # cellular_toolkit.fill_reach_map's run-to-convergence loop.
         def cond(carry):
-            return (carry[2] != 0) & (carry[3] < NUM_CELLS)
+            return (carry[1] != 0) & (carry[2] < NUM_CELLS)
 
-    d, r, _, _ = jax.lax.while_loop(
-        cond, body, (d0, r0, jnp.ones((), I32), jnp.zeros((), I32))
+    c, _, _ = jax.lax.while_loop(
+        cond, body, (src_p, jnp.ones((), I32), jnp.zeros((), I32))
     )
-    return d, r
+
+    # Unpack once to the byte-per-agent planes the FSM's packed readers
+    # consume (V byte = 0xFF iff visited, R byte = rank 0..3).
+    vs, rs = [], []
+    for h in range(halves):
+        ch = c >> (12 * h)
+        v = jnp.zeros((Q, LANES), I32)
+        r = jnp.zeros((Q, LANES), I32)
+        for i in range(4):
+            bit = (ch >> (3 * i)) & 1
+            hv = bit << (8 * i + 7)
+            v = v | hv | (hv - (bit << (8 * i)))
+            r = r | (((ch >> (3 * i + 1)) & 3) << (8 * i))
+        vs.append(v)
+        rs.append(r)
+    if halves == 1:
+        return vs[0], rs[0]
+    return (jnp.concatenate(vs, axis=0), jnp.concatenate(rs, axis=0))
 
 
 def _rank_to_move_arr(rank):
@@ -211,9 +291,12 @@ def _rank_to_move_arr(rank):
     return mv
 
 
-def _move_towards(d_at, r_at):
-    """Toolkit move_towards_cell: IDLE unless 0 < dist < unreachable."""
-    ok = (d_at > 0) & (d_at < _WALLB)
+def _move_towards(v_at, r_at):
+    """Toolkit move_towards_cell: IDLE unless the cell is BFS-reached.
+
+    ``v_at`` is the visited byte (0xFF/0); callers guarantee the cell is
+    never the agent's own (the toolkit's dist==0 exclusion)."""
+    ok = v_at != 0
     return jnp.where(ok, _rank_to_move_arr(r_at), M_IDLE).astype(I32)
 
 
@@ -261,10 +344,10 @@ def fsm_block(board, btimer, bstr, ac, abc, amb, adead, rand,
         dmap = danger_map_tile(btimer, bstr, valid)
     safe1 = (dmap == 0) | (dmap >= 2)
     if "fsm_bfs" in _SKIP:
-        d_pl = jnp.full((block, LANES), _WALL4, I32)
+        v_pl = jnp.zeros((block, LANES), I32)  # nothing visited
         r_pl = jnp.zeros((block, LANES), I32)
     else:
-        d_pl, r_pl = swar_bfs(board, ac, valid)
+        v_pl, r_pl = swar_bfs(board, ac, valid)
 
     oh_ac = [lane == ac[:, i : i + 1] for i in range(4)]
     w_ac = _mkw_bytes(oh_ac)
@@ -280,6 +363,26 @@ def fsm_block(board, btimer, bstr, ac, abc, amb, adead, rand,
             w = w + ((lane == cells[:, i : i + 1]).astype(I32) << (bits * i))
         red = jnp.sum(vals * w, axis=1, keepdims=True)
         return (red >> (bits * lane4)) & ((1 << bits) - 1)
+
+    def read_packed_multi(vals, cells_list, bits):
+        """``read_packed`` over several cell sets in ONE lane reduction.
+
+        len(cells_list) * 4 * bits must be <= 32; each (set, agent) slot
+        gets its own disjoint bit field, so the single weighted sum
+        replaces len(cells_list) cross-lane reductions (reductions cost
+        ~an order more than element-wise ops)."""
+        w = jnp.zeros((block, LANES), I32)
+        for s, cells in enumerate(cells_list):
+            for i in range(4):
+                w = w + (
+                    (lane == cells[:, i : i + 1]).astype(I32)
+                    << (bits * (4 * s + i))
+                )
+        red = jnp.sum(vals * w, axis=1, keepdims=True)
+        return [
+            (red >> (bits * 4 * s + bits * lane4)) & ((1 << bits) - 1)
+            for s in range(len(cells_list))
+        ]
 
     # Per-agent scalars at own cell: danger (4 bits) + adjacent-wood bit.
     wood = (board == C_WOOD) & valid
@@ -303,19 +406,22 @@ def fsm_block(board, btimer, bstr, ac, abc, amb, adead, rand,
         oy = acy[:, i : i + 1]
         window = (ly >= oy - rad) & (ly < rad) & (lx >= ox - rad) & (lx < rad)
         manh = jnp.abs(lx - ox) + jnp.abs(ly - oy)
-        df = (d_pl >> (8 * i)) & _BYTE
+        # Reachable and not the agent's own cell (the toolkit's
+        # dist != 0 && dist != unreachable filter on the distance field).
+        vf = (v_pl >> (8 * i)) & _BYTE
         mask = (
-            window & (manh <= rad) & (df != 0) & (df < _WALLB)
-            & safe1 & valid
+            window & (manh <= rad) & (vf != 0)
+            & (lane != ac[:, i : i + 1]) & safe1 & valid
         )
         scand.append(
             jnp.min(jnp.where(mask, lane, _NOCELL), axis=1, keepdims=True)
         )
     scell = jnp.concatenate(scand, axis=1)
     w_sc = _mkw_bytes([lane == scell[:, i : i + 1] for i in range(4)])
-    sd_at = read_bytes(d_pl, w_sc)
-    sr_at = read_bytes(r_pl, w_sc)
-    m_safe = _move_towards(sd_at, sr_at)
+    # One read for visited + rank: byte = 4*vis | rank (fits 3 bits).
+    vr_pl = (v_pl & _VR4) | r_pl
+    s_at = read_bytes(vr_pl, w_sc)
+    m_safe = _move_towards(s_at & 4, s_at & 3)
 
     # Destination check for m_safe: walkable & safe_condition(d, 2).
     sdx, sdy = _mv_dxdy(m_safe)
@@ -337,16 +443,18 @@ def fsm_block(board, btimer, bstr, ac, abc, amb, adead, rand,
     # --- moveQueue recompute: SafeDirections + SortDirections -------------
     # Neighbor order RIGHT, LEFT, DOWN, UP (strategy.cpp:197-221).
     n_off = ((1, 0, M_RIGHT), (-1, 0, M_LEFT), (0, 1, M_DOWN), (0, -1, M_UP))
-    ok_s = []
+    inbs, ncells = [], []
     for (dx, dy, mv) in n_off:
         nx = acx + dx
         ny = acy + dy
         inb = (nx >= 0) & (nx < BOARD_SIZE) & (ny >= 0) & (ny < BOARD_SIZE)
-        ncell = jnp.where(inb, nx + BOARD_SIZE * ny, 127)
-        nb = read_packed(
-            safe1.astype(I32) + 2 * walk1.astype(I32), ncell, 2
-        )
-        ok_s.append(inb & (nb == 3))
+        inbs.append(inb)
+        ncells.append(jnp.where(inb, nx + BOARD_SIZE * ny, 127))
+    # All 16 (direction, agent) neighbor probes in ONE lane reduction.
+    nbs = read_packed_multi(
+        safe1.astype(I32) + 2 * walk1.astype(I32), ncells, 2
+    )
+    ok_s = [inb & (nb == 3) for inb, nb in zip(inbs, nbs)]
     # Compress ok moves in order into the first `count` slots.
     rank_s = []
     acc = jnp.zeros((block, 4), I32)
@@ -373,7 +481,7 @@ def fsm_block(board, btimer, bstr, ac, abc, amb, adead, rand,
     # SortDirections: replicate the RemoveAt+AddElem aliasing walk
     # (strategy.hpp:130-152 via strategy/moves.py:sort_directions).
     def sort_body(carry):
-        s0, s1, s2, s3, count, i, removes, _ = carry
+        s0, s1, s2, s3, count, i, removes = carry
         slots = (s0, s1, s2, s3)
         active = (i < mq_count) & (removes < 4) & (i >= 0)
         slot_val = jnp.zeros((block, 4), I32)
@@ -402,21 +510,23 @@ def fsm_block(board, btimer, bstr, ac, abc, amb, adead, rand,
             out.append(jnp.where(do, app, slots[k]))
         i2 = jnp.where(do, i - 1, i) + 1
         removes2 = removes + do
-        return (out[0], out[1], out[2], out[3], count, i2, removes2,
-                jnp.any(active).astype(I32))
+        return (out[0], out[1], out[2], out[3], count, i2, removes2)
 
-    def sort_cond(carry):
-        return (carry[7] != 0) & jnp.any(carry[5] < 8)
-
+    # The walk provably terminates within 8 applications (i advances on
+    # every non-removing application, count <= 4 and removes is capped at
+    # 4), and past-termination applications are no-ops (the `active`
+    # guard).  Straight-line unrolling all 8 removes the while_loop's
+    # scalar round trips AND both per-iteration `any` reductions, which
+    # dominated this phase's cost (the slot ops are 1-vreg [block,4]).
     z4 = jnp.zeros((block, 4), I32)
     if "fsm_sort" in _SKIP:
         s0, s1, s2, s3 = new_mq
     else:
-        s0, s1, s2, s3, _, _, _, _ = jax.lax.while_loop(
-            sort_cond, sort_body,
-            (new_mq[0], new_mq[1], new_mq[2], new_mq[3], mq_count, z4, z4,
-             jnp.ones((), I32)),
-        )
+        carry = (new_mq[0], new_mq[1], new_mq[2], new_mq[3], mq_count,
+                 z4, z4)
+        for _ in range(8):
+            carry = sort_body(carry)
+        s0, s1, s2, s3 = carry[:4]
     sorted_mq = [s0, s1, s2, s3]
     mq_empty = mq_count == 0
     m_queue = jnp.where(
@@ -456,9 +566,8 @@ def fsm_block(board, btimer, bstr, ac, abc, amb, adead, rand,
             ecell = jnp.where(okk, _rot4(ac, k), ecell)
             chosen = chosen | okk
     w_ec = _mkw_bytes([lane == ecell[:, i : i + 1] for i in range(4)])
-    ed_at = read_bytes(d_pl, w_ec)
-    er_at = read_bytes(r_pl, w_ec)
-    m_enemy = _move_towards(ed_at, er_at)
+    e_at = read_bytes(vr_pl, w_ec)
+    m_enemy = _move_towards(e_at & 4, e_at & 3)
     edx, edy = _mv_dxdy(m_enemy)
     e_inb = (
         (acx + edx >= 0) & (acx + edx < BOARD_SIZE)

@@ -181,10 +181,11 @@ def _ray_reach(board, origin_allowance):
 
     def cond(carry):
         e1, e2, e3, e4, _, k = carry
-        alive = (
-            jnp.any(e1 >= 0) | jnp.any(e2 >= 0)
-            | jnp.any(e3 >= 0) | jnp.any(e4 >= 0)
-        )
+        # ONE cross-lane reduction (reductions cost ~an order more than
+        # element-wise ops): fold the four ray planes with cheap maxes.
+        m12 = jnp.maximum(e1, e2)
+        m34 = jnp.maximum(e3, e4)
+        alive = jnp.any(jnp.maximum(m12, m34) >= 0)
         return alive & (k < BOARD_SIZE)
 
     a0 = origin_allowance
