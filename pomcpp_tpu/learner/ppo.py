@@ -75,6 +75,11 @@ class PPOConfig(NamedTuple):
                                   # stalemate is NOT a win, and without
                                   # this the policy happily dances out the
                                   # clock (~16% of eval games timed out).
+    shuffle_minibatches: bool = True  # permute rows across minibatches
+                                  # each epoch (standard PPO); False slices
+                                  # contiguous slabs -- no gather, no
+                                  # permutation copy (boards are iid, so
+                                  # with epochs=1 the bias is negligible).
     randomize_positions: bool = False  # permute corner seats on every
                                   # auto-reset (reference MakeGame's
                                   # std::random_shuffle, environment.cpp:60)
@@ -446,14 +451,27 @@ def ppo_update(ts: TrainState, flat_batch, cfg: PPOConfig):
         params, opt_state, key = carry
         key, perm_key = jax.random.split(key)
         perm = jax.random.permutation(perm_key, n)
-        shuffled = tuple(x[perm] for x in flat_batch)
 
         def mini(carry, i):
             params, opt_state = carry
-            sl = tuple(
-                lax.dynamic_slice_in_dim(x, i * mb, mb, axis=0)
-                for x in shuffled
-            )
+            if cfg.shuffle_minibatches:
+                # Gather ONE minibatch by its permuted row indices instead
+                # of materializing a shuffled copy of the whole batch --
+                # the full-batch permutation gather kept a second copy of
+                # the feats buffer live (~4 GB at batch 4096 x rollout 64)
+                # and pushed the step program past HBM.  Row-contiguous
+                # takes of [mb, F] slabs DMA fine (unlike the per-cell
+                # gathers of the ego-crop lesson, docs/PERF.md).
+                idx = lax.dynamic_slice_in_dim(perm, i * mb, mb)
+                sl = tuple(jnp.take(x, idx, axis=0) for x in flat_batch)
+            else:
+                # Contiguous slabs: boards are iid, so for epochs=1 /
+                # few-minibatch configs composition bias is negligible
+                # and the gather disappears entirely.
+                sl = tuple(
+                    lax.dynamic_slice_in_dim(x, i * mb, mb, axis=0)
+                    for x in flat_batch
+                )
             (loss, metrics), grads = jax.value_and_grad(
                 _ppo_loss, has_aux=True
             )(params, sl, cfg)
