@@ -263,13 +263,21 @@ def collect_rollout(params, es: EnvState, cfg: PPOConfig):
     return es_final, traj, boot_value
 
 
-def collect_rollout_batch(params, es: EnvState, cfg: PPOConfig, opp_state=None):
+def collect_rollout_batch(params, es: EnvState, cfg: PPOConfig, opp_state=None,
+                          time_major: bool = False):
     """``collect_rollout`` over the whole boards batch at once.
 
     Same semantics as ``jax.vmap(collect_rollout)`` (returns [B, T, ...]
     trajectories); the point is ``cfg.fused_env``: the env step runs as ONE
     fused Pallas kernel launch per step instead of per-board vmapped XLA
     ops, which are launch-bound at PPO batch sizes.
+
+    ``time_major=True`` returns the trajectory as the scan produced it
+    ([T, B, ...]) instead of transposing to [B, T, ...].  The transpose is
+    not free: at batch 4096 x rollout 64 the feats buffer is ~5 GB, and
+    the layout copy (plus its reshape temp downstream) tipped the train
+    step over HBM.  ``ppo_train_step`` consumes the time-major layout
+    directly; the [B, T] default remains for API compatibility.
 
     With ``cfg.opponent`` set, slots outside ``cfg.learner_slots`` act via
     the scripted policy; the trajectory (and thus the loss) carries ONLY the
@@ -374,8 +382,9 @@ def collect_rollout_batch(params, es: EnvState, cfg: PPOConfig, opp_state=None):
     (es_final, opp_final), traj = lax.scan(
         body, (es, opp_state), None, length=cfg.rollout_len
     )
-    # [T, B, ...] -> [B, T, ...] to match the vmapped collect layout.
-    traj = jax.tree.map(lambda x: jnp.swapaxes(x, 0, 1), traj)
+    if not time_major:
+        # [T, B, ...] -> [B, T, ...] to match the vmapped collect layout.
+        traj = jax.tree.map(lambda x: jnp.swapaxes(x, 0, 1), traj)
     _, _, boot_value, _ = jax.vmap(
         lambda g: _policy_slots(params, g, jax.random.PRNGKey(0), slots)
     )(es_final.game)
@@ -512,21 +521,37 @@ def ppo_train_step(ts: TrainState, es_batch: EnvState, cfg: PPOConfig = PPOConfi
     opponents' FSM state — thread it back in, or pass None to start fresh).
     """
     opp_final = None
+    # The batched collectors keep the scan's time-major [T, B, ...] layout:
+    # GAE vmaps over the boards axis in place and the flatten below is then
+    # a free reshape, instead of a ~5 GB transpose copy of the feats buffer
+    # (at batch 4096 x rollout 64 that copy + its reshape temp OOM'd HBM).
+    time_major = bool(cfg.opponent) or cfg.fused_env
     if cfg.opponent:
         if opp_state is None and cfg.opponent == "simple":
             opp_state = opponent_state_init(es_batch.done.shape[0], cfg)
         es_final, traj, boot, opp_final = collect_rollout_batch(
-            ts.params, es_batch, cfg, opp_state
+            ts.params, es_batch, cfg, opp_state, time_major=True
         )
     elif cfg.fused_env:
-        es_final, traj, boot = collect_rollout_batch(ts.params, es_batch, cfg)
+        es_final, traj, boot = collect_rollout_batch(
+            ts.params, es_batch, cfg, time_major=True
+        )
     else:
         es_final, traj, boot = jax.vmap(
             lambda e: collect_rollout(ts.params, e, cfg)
         )(es_batch)
-    adv, ret = jax.vmap(lambda t, b: compute_gae(t, b, cfg))(traj, boot)
+    if time_major:
+        # traj leaves are [T, B, ...]; map GAE over B (axis 1), boot over
+        # its boards axis 0, and keep outputs time-major ([T, B, L]).
+        adv, ret = jax.vmap(
+            lambda t, b: compute_gae(t, b, cfg),
+            in_axes=(1, 0), out_axes=1,
+        )(traj, boot)
+    else:
+        adv, ret = jax.vmap(lambda t, b: compute_gae(t, b, cfg))(traj, boot)
 
-    # Flatten [B, T, 4, ...] -> [B*T*4, ...].
+    # Flatten [B, T, 4, ...] (or time-major [T, B, 4, ...]) -> [B*T*4, ...];
+    # rows are iid for the shuffled minibatch gather either way.
     def flat(x):
         return x.reshape((-1,) + x.shape[3:])
 

@@ -90,6 +90,7 @@ def main() -> None:
     games_per = args.games // len(rotations)
 
     counts = collections.Counter()
+    seat_wins = collections.Counter()  # (policy, seat) -> wins, FFA rotate
     max_steps = 0
     total = 0
     for ri, lineup in enumerate(rotations):
@@ -118,6 +119,7 @@ def main() -> None:
                     counts[f"team{res.winners[g]}({label})"] += 1
             elif args.rotate:
                 counts[f"win({lineup[res.winners[g]]})"] += 1
+                seat_wins[(lineup[res.winners[g]], int(res.winners[g]))] += 1
             else:
                 counts[
                     f"agent{res.winners[g]}({lineup[res.winners[g]]})"
@@ -125,6 +127,22 @@ def main() -> None:
     print(f"games={total} steps_played<={max_steps}")
     for k_, v in sorted(counts.items()):
         print(f"  {k_}: {v} ({100 * v / total:.1f}%)")
+    if args.rotate and not args.team:
+        # Per-seat breakdown for policies seated once per rotation: the
+        # seat-conditional win rates (and their spread) expose positional
+        # bias -- a net trained with randomize_positions should show a
+        # visibly smaller spread than a fixed-seat-trained one.
+        for name in sorted(set(names)):
+            if names.count(name) != 1:
+                continue
+            rates = [100 * seat_wins[(name, s)] / games_per for s in range(4)]
+            mean = sum(rates) / 4
+            sd = (sum((r - mean) ** 2 for r in rates) / 4) ** 0.5
+            print(
+                f"  seats({name}): "
+                + " ".join(f"{r:.1f}%" for r in rates)
+                + f"  (sd {sd:.1f})"
+            )
 
 
 if __name__ == "__main__":

@@ -1,6 +1,10 @@
 """Attribute PPO iteration time: rollout vs GAE vs update.
 
-Usage: python scripts/profile_ppo.py [--batch 2048] [--rollout 32]
+Usage: python scripts/profile_ppo.py [--batch 2048] [--rollout 32] [--fused]
+
+``--fused`` profiles the production configuration (collect_rollout_batch
+over the fused Pallas env step, time-major layout); default is the
+reference vmapped path.
 """
 
 import sys
@@ -18,36 +22,64 @@ import jax.numpy as jnp  # noqa: E402
 def main():
     batch = 2048
     rollout = 32
+    epochs = 0
+    minibatches = 0
+    fused = "--fused" in sys.argv
     for a in sys.argv[1:]:
         if a.startswith("--batch"):
             batch = int(a.split("=")[1])
         if a.startswith("--rollout"):
             rollout = int(a.split("=")[1])
+        if a.startswith("--epochs"):
+            epochs = int(a.split("=")[1])
+        if a.startswith("--minibatches"):
+            minibatches = int(a.split("=")[1])
 
     from pomcpp_tpu.env import env_reset
     from pomcpp_tpu.learner import PPOConfig, ppo_init
     from pomcpp_tpu.learner.ppo import (
         collect_rollout,
+        collect_rollout_batch,
         compute_gae,
         ppo_update,
     )
 
-    cfg = PPOConfig(rollout_len=rollout)
+    if not minibatches:
+        n = batch * rollout * 4
+        minibatches = 2
+        while n // minibatches > 128 * 1024:
+            minibatches *= 2
+    cfg = PPOConfig(rollout_len=rollout, fused_env=fused,
+                    epochs=epochs or (1 if fused else 2),
+                    minibatches=minibatches)
     ts = ppo_init(jax.random.PRNGKey(0), cfg)
     es = jax.vmap(lambda k: env_reset(k, engine="cellular"))(
         jax.random.split(jax.random.PRNGKey(1), batch)
     )
 
-    roll = jax.jit(
-        lambda params, es: jax.vmap(
-            lambda e: collect_rollout(params, e, cfg)
-        )(es)
-    )
-    gae = jax.jit(
-        lambda traj, boot: jax.vmap(lambda t, b: compute_gae(t, b, cfg))(
-            traj, boot
+    if fused:
+        roll = jax.jit(
+            lambda params, es: collect_rollout_batch(
+                params, es, cfg, time_major=True
+            )
         )
-    )
+        gae = jax.jit(
+            lambda traj, boot: jax.vmap(
+                lambda t, b: compute_gae(t, b, cfg),
+                in_axes=(1, 0), out_axes=1,
+            )(traj, boot)
+        )
+    else:
+        roll = jax.jit(
+            lambda params, es: jax.vmap(
+                lambda e: collect_rollout(params, e, cfg)
+            )(es)
+        )
+        gae = jax.jit(
+            lambda traj, boot: jax.vmap(lambda t, b: compute_gae(t, b, cfg))(
+                traj, boot
+            )
+        )
 
     def flatten(traj, adv, ret):
         def flat(x):
@@ -81,7 +113,10 @@ def main():
     jax.block_until_ready(fb)
     t("update", upd, ts, fb)
     n = batch * rollout
-    print(f"(batch {batch} x rollout {rollout} = {n} env-steps/iter)")
+    print(
+        f"(batch {batch} x rollout {rollout} = {n} env-steps/iter; "
+        f"fused={fused} epochs={cfg.epochs} minibatches={cfg.minibatches})"
+    )
 
 
 if __name__ == "__main__":

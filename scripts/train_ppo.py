@@ -37,6 +37,11 @@ def main() -> None:
     p.add_argument("--iters", type=int, default=50)
     p.add_argument("--rollout", type=int, default=64)
     p.add_argument("--epochs", type=int, default=2)
+    p.add_argument("--minibatches", type=int, default=0,
+                   help="PPO minibatches per epoch; 0 = auto-scale so one "
+                        "minibatch stays <= 128k samples (the conv fwd+bwd "
+                        "activation temps are ~10 KB/sample; a 512k-sample "
+                        "minibatch alone wants ~20 GB of HBM temps)")
     p.add_argument("--lr", type=float, default=3e-4)
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--ckpt-dir", type=str, default="")
@@ -73,13 +78,21 @@ def main() -> None:
                                      shard_env_batch)
     from pomcpp_tpu.utils import restore_checkpoint, save_checkpoint
 
+    slots = tuple(
+        int(s) for s in args.learner_slots.split(",")
+    ) if args.opponent else (0, 1, 2, 3)
+    mbs = args.minibatches
+    if mbs <= 0:
+        n = args.batch * args.rollout * len(slots)
+        mbs = 2
+        while n // mbs > 128 * 1024:
+            mbs *= 2
     cfg = PPOConfig(rollout_len=args.rollout, lr=args.lr, team_mode=args.team,
                     fused_env=args.fused, epochs=args.epochs,
+                    minibatches=mbs,
                     draw_penalty=args.draw_penalty,
                     opponent=args.opponent,
-                    learner_slots=tuple(
-                        int(s) for s in args.learner_slots.split(",")
-                    ) if args.opponent else (0, 1, 2, 3),
+                    learner_slots=slots,
                     randomize_positions=args.randomize_positions)
     ts = ppo_init(jax.random.PRNGKey(args.seed), cfg)
     if args.resume and args.ckpt_dir and os.path.exists(args.ckpt_dir):
