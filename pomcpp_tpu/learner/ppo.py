@@ -35,6 +35,7 @@ from ..agents import harmless_agent, lazy_agent, random_agent
 from ..agents.simple import simple_agent_init_batch
 from ..agents.simple_cellular import simple_agent_cell_joint
 from ..core.constants import AGENT_COUNT
+from ..core.constants import C_AGENT0 as _C_AGENT0
 from ..core.state import I32
 from ..env.environment import TEAM_OF, EnvState, act_all, env_step_auto_reset
 from ..env.observation import observe_ego
@@ -139,6 +140,116 @@ def _policy_slots(params, game, key, slots):
 def _policy_all_agents(params, game, key):
     """Sample moves for all 4 agents -> (moves, logp, value, feats)."""
     return _policy_slots(params, game, key, tuple(range(AGENT_COUNT)))
+
+
+def _policy_slots_batch(params, games, keys, slots):
+    """``vmap(_policy_slots)`` restructured: featurize-once + flat apply.
+
+    MEASURED NEGATIVE RESULT (r3, kept for the record + the bit-equality
+    test pinning the commuted featurization): outputs are bit-identical
+    to the nested-vmap composition (same key flow, same conv shapes,
+    exact selection crops), but on a v5e at batch 4096 it is ~25% SLOWER
+    standalone (14.4 vs 11.6 ms, scripts/microbench_rollout.py) and ~65%
+    slower inside the rollout scan (1040 vs 622 ms/iter) -- the feature-
+    space crop einsums ([B,4,9,19]x[B,19,19,17] contractions) lower
+    worse than the per-agent [9,19]x[19,19]x[19,9] selection chains,
+    which XLA fuses tightly into the conv's input.  Do NOT wire this
+    back into collect_rollout_batch without re-measuring.
+
+    Exactness notes (why bit-identical): featurize-then-crop commutes
+    with crop-then-featurize because featurization is per-cell and the
+    one-hot crop matmuls are pure selections (a single 1.0-weighted term
+    per output -- exact even through bf16 matmul passes since every
+    value is a small int); scalar /10.0 divisions happen after the crop
+    on the same f32 int values.
+
+    Returns (moves, logp, value, feats) with leaves [B, L, ...].
+    """
+    import numpy as np
+
+    from ..core.constants import BOARD_SIZE, C_RIGID
+    from ..env.observation import DEFAULT_VIEW_RANGE as _R
+    from ..models.actor_critic import _N_CLASSES
+
+    B = games.board.shape[0]
+    L = len(slots)
+    sl = jnp.asarray(slots, I32)
+    r = _R
+    w = 2 * r + 1
+    pw = BOARD_SIZE + 2 * r
+
+    # Per-cell feature planes, one pass per BOARD.  The scalar channels
+    # stay RAW integers here and are scaled after the crop: every value in
+    # the einsum is then a small int or a one-hot 1.0, exact even if the
+    # default TPU matmul precision routes f32 operands through bf16
+    # passes (ints <= 255 are bf16-exact; 0.3 is not).
+    board = games.board
+    cls = jnp.where(board >= _C_AGENT0, board - _C_AGENT0 + 9, board)
+    onehot = jax.nn.one_hot(jnp.clip(cls, 0, _N_CLASSES - 1), _N_CLASSES)
+    scalars = jnp.stack(
+        [
+            games.bomb_timer,
+            games.bomb_strength,
+            games.bomb_dir,
+            games.flame_timer,
+        ],
+        axis=-1,
+    ).astype(jnp.float32)
+    fmap = jnp.concatenate([onehot, scalars], axis=-1)  # [B, 121, C]
+    C = fmap.shape[-1]
+    fmap = fmap.reshape(B, BOARD_SIZE, BOARD_SIZE, C)   # [B, y, x, C]
+    fmap = jnp.pad(fmap, ((0, 0), (r, r), (r, r), (0, 0)))
+    # Out-of-board cells read RIGID: its feature vector is one_hot(RIGID)
+    # with zero scalars, so only the RIGID class channel needs filling.
+    interior = np.zeros((pw, pw), np.float32)
+    interior[r:-r, r:-r] = 1.0
+    rigid_ch = jnp.asarray(1.0 - interior)
+    fmap = fmap.at[..., C_RIGID].add(rigid_ch)
+
+    ax = games.agent_x[:, sl]                           # [B, L]
+    ay = games.agent_y[:, sl]
+    rows = jax.nn.one_hot(ay[..., None] + jnp.arange(w), pw)  # [B, L, w, pw]
+    cols = jax.nn.one_hot(ax[..., None] + jnp.arange(w), pw)
+    t = jnp.einsum("baiw,bwvc->baivc", rows, fmap)
+    crop = jnp.einsum("baivc,bajv->baijc", t, cols)     # [B, L, w, w, C]
+    # Deferred scaling of the raw scalar channels: the same f32 division
+    # of the same int-valued f32 obs_to_features performs (x*0.1 could
+    # round differently than x/10.0; division keeps it bit-identical).
+    denom = jnp.concatenate(
+        [
+            jnp.ones((_N_CLASSES,), jnp.float32),
+            jnp.asarray([10.0, 10.0, 4.0, 4.0], jnp.float32),
+        ]
+    )
+    crop = crop / denom
+
+    stats = jnp.stack(
+        [
+            games.agent_max_bombs[:, sl] / 5.0,
+            games.agent_bomb_count[:, sl] / 5.0,
+            games.agent_strength[:, sl] / 10.0,
+            games.agent_can_kick[:, sl].astype(jnp.float32),
+            ax / 10.0,
+            ay / 10.0,
+        ],
+        axis=-1,
+    )                                                    # [B, L, 6]
+    stats = jnp.broadcast_to(stats[:, :, None, None, :], (B, L, w, w, 6))
+    feats = jnp.concatenate([crop, stats], axis=-1).astype(jnp.bfloat16)
+
+    logits, value = jax.vmap(lambda f: _MODEL.apply(params, f))(
+        feats.reshape(B * L, w, w, C + 6)
+    )
+    logits = logits.reshape(B, L, -1)
+    value = value.reshape(B, L)
+
+    # Key flow identical to vmap(_policy_slots): one split per board into
+    # L per-agent keys, one categorical per (board, agent).
+    ks = jax.vmap(lambda k: jax.random.split(k, L))(keys)  # [B, L, 2]
+    moves = jax.vmap(jax.vmap(jax.random.categorical))(ks, logits)
+    logp_all = jax.nn.log_softmax(logits)
+    logp = jnp.take_along_axis(logp_all, moves[..., None], axis=-1)[..., 0]
+    return moves.astype(I32), logp, value, feats
 
 
 def opponent_state_init(batch: int, cfg: "PPOConfig | None" = None):

@@ -230,3 +230,27 @@ def test_draw_penalty_on_step_cap_timeout():
         & np.asarray(trajv.alive)
     assert bv.any()
     assert np.all(rv[bv] == -0.25)
+
+
+def test_policy_slots_batch_matches_nested_vmap():
+    """_policy_slots_batch (featurize-once + flat apply; a measured TPU
+    negative result kept for the record) stays bit-identical to the
+    nested-vmap composition it restructures."""
+    from pomcpp_tpu.learner.ppo import _policy_slots, _policy_slots_batch
+
+    ts = ppo_init(jax.random.PRNGKey(0))
+    es = jax.vmap(lambda k: env_reset(k, engine="cellular"))(
+        jax.random.split(jax.random.PRNGKey(11), 6)
+    )
+    keys = jax.random.split(jax.random.PRNGKey(12), 6)
+    for slots in ((0, 1, 2, 3), (0, 2)):
+        ref = jax.jit(
+            lambda k, g: jax.vmap(
+                lambda kk, gg: _policy_slots(ts.params, gg, kk, slots)
+            )(k, g)
+        )(keys, es.game)
+        got = jax.jit(
+            lambda k, g: _policy_slots_batch(ts.params, g, k, slots)
+        )(keys, es.game)
+        for a, b in zip(jax.tree.leaves(ref), jax.tree.leaves(got)):
+            assert np.array_equal(np.asarray(a), np.asarray(b))
