@@ -7,8 +7,11 @@ over the fused Pallas env step, time-major layout); default is the
 reference vmapped path.
 """
 
+import os
 import sys
 import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import jax
 
