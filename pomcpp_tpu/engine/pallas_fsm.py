@@ -31,6 +31,7 @@ import os as _os
 import jax
 import jax.numpy as jnp
 import numpy as np
+from jax.experimental.pallas import tpu as pltpu
 
 from ..core.constants import (
     BOARD_SIZE,
@@ -90,6 +91,7 @@ def _read_w(plane, w):
 
 
 _BYTE_AT = tuple(np.int32(np.uint32(0xFF << (8 * i))) for i in range(4))
+_NIBBLE_HI = tuple(np.int32(np.uint32(0xF0 << (8 * i))) for i in range(4))
 
 
 def _mkw_bytes(oh):
@@ -97,6 +99,15 @@ def _mkw_bytes(oh):
     w = jnp.zeros(oh[0].shape, I32)
     for i in range(4):
         w = w + (oh[i].astype(I32) * _BYTE_AT[i])
+    return w
+
+
+def _mkw_hi(oh):
+    """One-hot list (len 4) -> weight plane with field i = 0xF0 (the high
+    nibble of byte i) -- the second field set of a merged byte read."""
+    w = jnp.zeros(oh[0].shape, I32)
+    for i in range(4):
+        w = w + (oh[i].astype(I32) * _NIBBLE_HI[i])
     return w
 
 
@@ -399,7 +410,11 @@ def fsm_block(board, btimer, bstr, ac, abc, amb, adead, rand,
     # --- path A: flee -----------------------------------------------------
     # Safe-place candidate per agent: first window cell (row-major),
     # replicating the reference's buggy bounds (strategy.cpp:126-128).
-    scand = []
+    # r4: the four per-agent min-reductions became ONE bitwise doubling
+    # prefix-or over a 4-bit packed mask plane -- first-set-lane IS the
+    # row-major minimum, and the bitwise scan serves all four agents at
+    # once (reductions cost ~an order more than element-wise ops).
+    m4 = jnp.zeros((block, LANES), I32)
     for i in range(4):
         rad = danger_self[:, i : i + 1]
         ox = acx[:, i : i + 1]
@@ -413,17 +428,51 @@ def fsm_block(board, btimer, bstr, ac, abc, amb, adead, rand,
             window & (manh <= rad) & (vf != 0)
             & (lane != ac[:, i : i + 1]) & safe1 & valid
         )
-        scand.append(
-            jnp.min(jnp.where(mask, lane, _NOCELL), axis=1, keepdims=True)
-        )
-    scell = jnp.concatenate(scand, axis=1)
-    w_sc = _mkw_bytes([lane == scell[:, i : i + 1] for i in range(4)])
-    # One read for visited + rank: byte = 4*vis | rank (fits 3 bits).
-    vr_pl = (v_pl & _VR4) | r_pl
-    s_at = read_bytes(vr_pl, w_sc)
-    m_safe = _move_towards(s_at & 4, s_at & 3)
+        m4 = m4 | (mask.astype(I32) << i)
+    pref = m4
+    for sh in (1, 2, 4, 8, 16, 32, 64):
+        pref = pref | jnp.where(lane >= sh, pltpu.roll(pref, sh, 1), 0)
+    excl = jnp.where(lane >= 1, pltpu.roll(pref, 1, 1), 0)
+    first4 = m4 & ~excl  # bit i: THE first masked lane of agent i (or none)
+    oh_sc = [((first4 >> i) & 1) != 0 for i in range(4)]
 
-    # Destination check for m_safe: walkable & safe_condition(d, 2).
+    # Enemy target: first live agent (id order) within manhattan 7 not on
+    # my cell (strategy.cpp:163-186).  Computed here so the enemy-cell and
+    # safe-cell (vis|rank) lookups share ONE packed lane reduction.
+    manh_k = [None] + [
+        jnp.abs(_rot4(acx, k) - acx) + jnp.abs(_rot4(acy, k) - acy)
+        for k in (1, 2, 3)
+    ]
+    alive_k = [None] + [_rot4(alive, k) for k in (1, 2, 3)]
+    ecell = jnp.full((block, 4), _NOCELL, I32)
+    chosen = jnp.zeros((block, 4), jnp.bool_)
+    for jv in range(4):
+        for k in (1, 2, 3):
+            is_j = ((lane4 + k) & 3) == jv
+            okk = (
+                is_j & alive_k[k] & (manh_k[k] <= 7) & (manh_k[k] > 0)
+                & ~chosen
+            )
+            ecell = jnp.where(okk, _rot4(ac, k), ecell)
+            chosen = chosen | okk
+
+    # One merged read for BOTH lookups: byte i carries agent i's safe-cell
+    # (vis|rank) field in its low nibble and its enemy-cell field in the
+    # high nibble (vr values are 3 bits, so vr_pl << 4 stays in-byte).
+    vr_pl = (v_pl & _VR4) | r_pl
+    w_sc = _mkw_bytes(oh_sc)
+    w_ec = _mkw_hi([lane == ecell[:, i : i + 1] for i in range(4)])
+    red_se = jnp.sum((vr_pl & w_sc) + ((vr_pl << 4) & w_ec),
+                     axis=1, keepdims=True)
+    s_at = (red_se >> (8 * lane4)) & 7
+    e_at = (red_se >> (8 * lane4 + 4)) & 7
+    m_safe = _move_towards(s_at & 4, s_at & 3)
+    m_enemy = _move_towards(e_at & 4, e_at & 3)
+
+    # Destination checks for m_safe / m_enemy: the FSM consumes only
+    # walkable & safe_condition(d, 2) and walkable & safe_condition(d, 5)
+    # PREDICATES of the destination cell, so both reads collapse to one
+    # 2-bit-per-cell packed reduction (r4; was two 5-bit value reads).
     sdx, sdy = _mv_dxdy(m_safe)
     sdc = ac + sdx + BOARD_SIZE * sdy
     s_inb = (
@@ -431,14 +480,18 @@ def fsm_block(board, btimer, bstr, ac, abc, amb, adead, rand,
         & (acy + sdy >= 0) & (acy + sdy < BOARD_SIZE)
     )
     sdc_safe = jnp.where(s_inb, sdc, 127)
-    dst = read_packed(
-        jnp.clip(dmap, 0, 15) + 16 * walk1.astype(I32), sdc_safe, 5
+    edx, edy = _mv_dxdy(m_enemy)
+    e_inb = (
+        (acx + edx >= 0) & (acx + edx < BOARD_SIZE)
+        & (acy + edy >= 0) & (acy + edy < BOARD_SIZE)
     )
-    a_ok = (
-        in_danger & s_inb & ((dst >> 4) != 0)
-        & (((dst & 15) == 0) | ((dst & 15) >= 2))
-    )
+    edc = jnp.where(e_inb, ac + edx + BOARD_SIZE * edy, 127)
+    safe5 = (dmap == 0) | (dmap >= 5)
+    pred2 = (safe1 & walk1).astype(I32) + 2 * (safe5 & walk1).astype(I32)
+    dd_s, dd_e = read_packed_multi(pred2, [sdc_safe, edc], 2)
+    a_ok = in_danger & s_inb & ((dd_s & 1) != 0)
     a_else = in_danger & ~a_ok
+    b3_ok = e_inb & ((dd_e & 2) != 0)
 
     # --- moveQueue recompute: SafeDirections + SortDirections -------------
     # Neighbor order RIGHT, LEFT, DOWN, UP (strategy.cpp:197-221).
@@ -534,11 +587,8 @@ def fsm_block(board, btimer, bstr, ac, abc, amb, adead, rand,
     ).astype(I32)
 
     # --- path B: aggression ----------------------------------------------
-    manh_k = [None] + [
-        jnp.abs(_rot4(acx, k) - acx) + jnp.abs(_rot4(acy, k) - acy)
-        for k in (1, 2, 3)
-    ]
-    alive_k = [None] + [_rot4(alive, k) for k in (1, 2, 3)]
+    # (manh_k / alive_k / ecell were computed up in path A so the enemy
+    # lookup could share the safe-cell lane reduction.)
     adj1 = jnp.zeros((block, 4), jnp.bool_)
     adj7 = jnp.zeros((block, 4), jnp.bool_)
     for k in (1, 2, 3):
@@ -551,36 +601,6 @@ def fsm_block(board, btimer, bstr, ac, abc, amb, adead, rand,
         act_i = i < (rpc // 2)
         loop_eq = loop_eq & ((rpl[i] == rpl[i + 2]) | ~act_i)
     rp_loop = loop_eq
-
-    # Enemy target: first live agent (id order) within manhattan 7 not on
-    # my cell (strategy.cpp:163-186).
-    ecell = jnp.full((block, 4), _NOCELL, I32)
-    chosen = jnp.zeros((block, 4), jnp.bool_)
-    for jv in range(4):
-        for k in (1, 2, 3):
-            is_j = ((lane4 + k) & 3) == jv
-            okk = (
-                is_j & alive_k[k] & (manh_k[k] <= 7) & (manh_k[k] > 0)
-                & ~chosen
-            )
-            ecell = jnp.where(okk, _rot4(ac, k), ecell)
-            chosen = chosen | okk
-    w_ec = _mkw_bytes([lane == ecell[:, i : i + 1] for i in range(4)])
-    e_at = read_bytes(vr_pl, w_ec)
-    m_enemy = _move_towards(e_at & 4, e_at & 3)
-    edx, edy = _mv_dxdy(m_enemy)
-    e_inb = (
-        (acx + edx >= 0) & (acx + edx < BOARD_SIZE)
-        & (acy + edy >= 0) & (acy + edy < BOARD_SIZE)
-    )
-    edc = jnp.where(e_inb, ac + edx + BOARD_SIZE * edy, 127)
-    edst = read_packed(
-        jnp.clip(dmap, 0, 15) + 16 * walk1.astype(I32), edc, 5
-    )
-    b3_ok = (
-        e_inb & ((edst >> 4) != 0)
-        & (((edst & 15) == 0) | ((edst & 15) >= 5))
-    )
 
     can_bomb = abc < amb
     b1 = ~in_danger & can_bomb & adj1

@@ -164,20 +164,32 @@ def _ray_reach(board, origin_allowance):
     """Ray propagation with early exit: iterate one cell per round in all
     four directions until every ray is exhausted.  Typical blast radius is
     1-2, so this runs ~2 cheap rounds instead of a fixed log-depth doubling
-    sweep; worst case is bounded by the board diameter."""
+    sweep; worst case is bounded by the board diameter.
+
+    r4 audit: (a) a ray with 0 remaining allowance burns its cell but can
+    never extend, so the liveness check is ``e >= 1``, not ``e >= 0`` --
+    strength-1 bombs (the common case) converge one round earlier; (b) two
+    rounds unroll per while body (post-exhaustion rounds are no-ops), so
+    the per-iteration fixed cost (scalar round trip + the cross-lane any)
+    is paid once per two rounds -- the r3 BFS lesson applied here."""
     rigid = board == C_RIGID
     absorb = rigid | (board == C_WOOD)
     neg = jnp.full_like(board, _NEG)
 
-    def body(carry):
-        e1, e2, e3, e4, burn, k = carry
+    def one_round(e1, e2, e3, e4, burn):
         outs = []
         for d, e in ((1, e1), (2, e2), (3, e3), (4, e4)):
             inc = _push(e, d, _NEG) - 1
             entered = (inc >= 0) & ~rigid
             burn = jnp.where(entered, 1, burn)
             outs.append(jnp.where(entered & ~absorb, inc, neg))
-        return outs[0], outs[1], outs[2], outs[3], burn, k + 1
+        return outs[0], outs[1], outs[2], outs[3], burn
+
+    def body(carry):
+        e1, e2, e3, e4, burn, k = carry
+        e1, e2, e3, e4, burn = one_round(e1, e2, e3, e4, burn)
+        e1, e2, e3, e4, burn = one_round(e1, e2, e3, e4, burn)
+        return e1, e2, e3, e4, burn, k + 2
 
     def cond(carry):
         e1, e2, e3, e4, _, k = carry
@@ -185,8 +197,8 @@ def _ray_reach(board, origin_allowance):
         # element-wise ops): fold the four ray planes with cheap maxes.
         m12 = jnp.maximum(e1, e2)
         m34 = jnp.maximum(e3, e4)
-        alive = jnp.any(jnp.maximum(m12, m34) >= 0)
-        return alive & (k < BOARD_SIZE)
+        alive = jnp.any(jnp.maximum(m12, m34) >= 1)
+        return alive & (k < BOARD_SIZE + 1)
 
     a0 = origin_allowance
     # i32 burn mask: bool planes in a while carry break Mosaic layouts.
@@ -402,8 +414,11 @@ def _step_block(board, hidden, ftimer, btimer, bstr, bdir, bown,
     def revert_chain(board, ac_, bp, trigger):
         """Bounce reverting agents back to their origins, cascading into
         occupants and kicked bombs (step_utility.cpp:62-128 semantics as
-        re-derived in round 1; control flow is now a while_loop over the
-        <= 6 cascade rounds, active rounds only)."""
+        re-derived in round 1; control flow is a while_loop over the <= 6
+        cascade rounds).  Round 1 runs straight-line outside the loop --
+        callers only enter with a nonzero trigger, so the first round is
+        always active and the common single-round cascade pays ONE
+        any+scalar-round-trip (the exit check) instead of two."""
 
         def cond(carry):
             board, ac_, bp, cur, done, k = carry
@@ -459,10 +474,9 @@ def _step_block(board, hidden, ftimer, btimer, bstr, bdir, bown,
             return board, ac_, bp, cur, done, k + 1
 
         zero4 = jnp.zeros((block, 4), I32)
-        board, ac_, bp, _, _, _ = jax.lax.while_loop(
-            cond, body,
-            (board, ac_, bp, trigger, zero4, jnp.zeros((), I32)),
-        )
+        carry = (board, ac_, bp, trigger, zero4, jnp.zeros((), I32))
+        carry = body(carry)  # round 1: always active on entry
+        board, ac_, bp, _, _, _ = jax.lax.while_loop(cond, body, carry)
         return board, ac_, bp
 
     def restore_bomb_items(board, ac_, bp):
@@ -474,11 +488,32 @@ def _step_block(board, hidden, ftimer, btimer, bstr, bdir, bown,
         show = (bp_timer(bp) > 0) & ~occupied & _is_agent(board)
         return jnp.where(show, C_BOMB, board)
 
-    def blocked_revert(carry):
-        board, ac_, bp, trigger = carry
-        board, ac_, bp = revert_chain(board, ac_, bp, trigger)
-        board = restore_bomb_items(board, ac_, bp)
-        return board, ac_, bp, trigger
+    def gated_revert(board, ac_, bp, bit_bool, relevant):
+        """Revert cascade behind a CHEAP scalar gate (r4): fired iff some
+        ``relevant`` agent stands on a set cell of ``bit_bool``.  The gate
+        is one bool-plane any over an 11-op occupancy mask; the [block,4]
+        trigger (a packed lane reduction + unpack) is built only inside
+        the taken branch, so the common quiet step never pays it."""
+        occ = jnp.zeros((block, LANES), jnp.bool_)
+        for i in range(4):
+            occ = occ | (
+                (lane == ac_[:, i : i + 1]) & relevant[:, i : i + 1]
+            )
+        fired = jnp.any(bit_bool & occ)
+
+        def taken(carry):
+            board, ac_, bp = carry
+            trigger = (
+                relevant & read_bits(bit_bool.astype(I32), ac_)
+            ).astype(I32)
+            board, ac_, bp = revert_chain(board, ac_, bp, trigger)
+            board = restore_bomb_items(board, ac_, bp)
+            return board, ac_, bp
+
+        board, ac_, bp = jax.lax.cond(
+            fired, taken, lambda c: c, (board, ac_, bp)
+        )
+        return board, ac_, bp, fired
 
     old_ac = old_ax + BOARD_SIZE * old_ay
 
@@ -496,17 +531,10 @@ def _step_block(board, hidden, ftimer, btimer, bstr, bdir, bown,
             blocked = (bp_timer(bp) > 0) & (
                 _dest_oob(bd) | _static_block(ditem) | _is_agent(ditem)
             )
-            trigger = (
-                alive2
-                & read_bits(blocked.astype(I32), ac_)
-                & directional_move
-                & agent_moved
-            ).astype(I32)
+            relevant = alive2 & directional_move & agent_moved
             bp = jnp.where(blocked, bp & ~(7 << 10), bp)
-            fired = jnp.any(trigger != 0)
-            board, ac_, bp, _ = jax.lax.cond(
-                fired, blocked_revert, lambda c: c,
-                (board, ac_, bp, trigger),
+            board, ac_, bp, fired = gated_revert(
+                board, ac_, bp, blocked, relevant
             )
             return board, ac_, bp, fired
 
@@ -529,15 +557,9 @@ def _step_block(board, hidden, ftimer, btimer, bstr, bdir, bown,
         one packed position read replaces the blocked/target machinery."""
         board, bp, ac_ = carry
         agent_moved = ac_ != old_ac
-        trigger = (
-            alive2
-            & read_bits((bp_timer(bp) > 0).astype(I32), ac_)
-            & directional_move
-            & agent_moved
-        ).astype(I32)
-        board, ac_, bp, _ = jax.lax.cond(
-            jnp.any(trigger != 0), blocked_revert, lambda c: c,
-            (board, ac_, bp, trigger),
+        relevant = alive2 & directional_move & agent_moved
+        board, ac_, bp, _ = gated_revert(
+            board, ac_, bp, bp_timer(bp) > 0, relevant
         )
         return board, bp, ac_, jnp.zeros((block, LANES), I32)
 
@@ -561,14 +583,8 @@ def _step_block(board, hidden, ftimer, btimer, bstr, bdir, bown,
         stopped_kick = collide & moving
         bp = jnp.where(collide | (moving & ~can_enter), bp & ~(7 << 10), bp)
 
-        trigger = (
-            alive2
-            & read_bits(stopped_kick.astype(I32), ac_)
-            & directional_move
-        ).astype(I32)
-        board, ac_, bp, _ = jax.lax.cond(
-            jnp.any(trigger != 0), blocked_revert, lambda c: c,
-            (board, ac_, bp, trigger),
+        board, ac_, bp, _ = gated_revert(
+            board, ac_, bp, stopped_kick, alive2 & directional_move
         )
 
         bd = bp_dir(bp)
@@ -631,21 +647,19 @@ def _step_block(board, hidden, ftimer, btimer, bstr, bdir, bown,
 
         was_wood = burn & (board == C_WOOD)
         kill_cell = burn & _is_agent(board)
-        # Packed reductions: agent-kill bits and per-owner refund counts in
-        # one lane-sum each (an agent occupies at most one cell; an owner
-        # has at most 5 bombs, well inside the 5-bit count fields).
+        # ONE packed reduction: agent-kill bits (bits [20,24) -- an agent
+        # occupies at most one cell) and per-owner refund counts (5-bit
+        # fields, bits [0,20) -- an owner has few bombs, well inside the
+        # field) share a single lane-sum.
         lane4_ = jax.lax.broadcasted_iota(I32, (block, 4), 1)
-        killr = jnp.sum(
-            jnp.where(kill_cell, 1 << (board - C_AGENT0), 0),
+        red = jnp.sum(
+            jnp.where(kill_cell, 1 << (20 + board - C_AGENT0), 0)
+            + jnp.where(explode != 0, 1 << (5 * bown), 0),
             axis=1, keepdims=True,
         )
-        hit = ((killr >> lane4_) & 1) != 0
+        hit = ((red >> (20 + lane4_)) & 1) != 0
         adead = jnp.where(hit, 1, adead)
-        refr = jnp.sum(
-            jnp.where(explode != 0, 1 << (5 * bown), 0),
-            axis=1, keepdims=True,
-        )
-        abc = abc - ((refr >> (5 * lane4_)) & 31)
+        abc = abc - ((red >> (5 * lane4_)) & 31)
 
         next_explode = (burn & (btimer > 0) & (explode == 0)).astype(I32)
 
@@ -661,12 +675,22 @@ def _step_block(board, hidden, ftimer, btimer, bstr, bdir, bown,
                 next_explode, next_explode)
 
     # i32 masks in the cond carry (stored narrow bools break Mosaic).
+    # The chain rounds NEST inside each other's taken branch (r4): a step
+    # with no explosion pays ONE any+cond instead of MAX_CHAIN_ROUNDS of
+    # them, and a depth-1 chain (the overwhelmingly common case) pays two.
     carry = (board, hidden, ftimer, btimer, bstr, bdir, bown, abc, adead,
              explode.astype(I32), live.astype(I32))
-    for _ in range(MAX_CHAIN_ROUNDS):
-        carry = jax.lax.cond(
-            jnp.any(carry[9] != 0), explosion_round, lambda c: c, carry
-        )
+
+    def _chain(depth, c):
+        if depth == 0:
+            return c
+
+        def taken(c):
+            return _chain(depth - 1, explosion_round(c))
+
+        return jax.lax.cond(jnp.any(c[9] != 0), taken, lambda c: c, c)
+
+    carry = _chain(MAX_CHAIN_ROUNDS, carry)
     (board, hidden, ftimer, btimer, bstr, bdir, bown, abc, adead,
      _, _) = carry
 

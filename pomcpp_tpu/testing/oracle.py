@@ -189,6 +189,26 @@ def enum2_pair(dump: dict, agent_a: int, agent_b: int):
     return dumps[0], dumps[1:]
 
 
+def enum3_trio(dump: dict, agent_a: int, agent_b: int, agent_c: int):
+    """Run the oracle's 2-step 125x125 pruned-alphabet sweep over THREE
+    agents on an injected state (moves 0..4: IDLE + directions; bombs come
+    pre-planted).  Returns ``(echoed_base, [15625 dumps])``; sweep index
+    ``code`` applies step-1 moves ``(c1%5, c1//5%5, c1//25)`` with
+    ``c1 = code % 125`` and step-2 moves likewise from ``code // 125`` to
+    ``(agent_a, agent_b, agent_c)`` (the fourth agent IDLE)."""
+    out = subprocess.run(
+        [ORACLE_BIN, "loadenum3", str(agent_a), str(agent_b), str(agent_c)],
+        input=dump_to_text(dump),
+        capture_output=True,
+        text=True,
+        timeout=600,
+    )
+    assert out.returncode == 0, out.stderr
+    dumps = [json.loads(l) for l in out.stdout.splitlines() if l.strip()]
+    assert len(dumps) == 15626, len(dumps)
+    return dumps[0], dumps[1:]
+
+
 def diff_dumps(ref: dict, mine: dict) -> list[str]:
     """Human-readable field-level differences between two dumps."""
     out = []

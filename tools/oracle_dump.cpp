@@ -147,7 +147,7 @@ int main(int argc, char** argv)
         return 0;
     }
 
-    if (std::string(argv[1]) == "loadenum2")
+    if (std::string(argv[1]) == "loadenum2" || std::string(argv[1]) == "loadenum3")
     {
         // 2-step exhaustive sweep over TWO interacting agents on an
         // injected state (the phase-2 bounce-back semantics span
@@ -159,8 +159,17 @@ int main(int argc, char** argv)
         // nx6 bomb tuples (x y id strength time dir), nflames + nx4 flame
         // tuples (x y timeLeft strength), aliveAgents.  Echoes the loaded
         // state, then dumps the state after each 2-step sequence (1296).
+        // loadenum3 <a> <b> <c>: same state injection, but THREE live
+        // agents sweep a pruned 5-move alphabet (IDLE + 4 directions; bombs
+        // come pre-planted in the injected state) over two steps --
+        // 125 x 125 = 15625 sequences.  Exhausts multi-link chain
+        // reversions that cascade through a second displaced agent across
+        // a step boundary (step_utility.cpp:62-128), which the pairwise
+        // loadenum2 sweep cannot reach.
+        bool trio = std::string(argv[1]) == "loadenum3";
         int aa = (int)seed;           // argv[2] reused as agent id a
         int ab = std::atoi(argv[3]);  // agent id b
+        int ac3 = trio ? std::atoi(argv[4]) : -1;
         auto base = std::make_unique<State>();
         for (int y = 0; y < BOARD_SIZE; y++)
             for (int x = 0; x < BOARD_SIZE; x++)
@@ -203,6 +212,23 @@ int main(int argc, char** argv)
 
         dumpState(*base);
         Move m[AGENT_COUNT];
+        if (trio)
+        {
+            for (int code = 0; code < 125 * 125; code++)
+            {
+                State s = *base;  // POD copy
+                int c1 = code % 125, c2 = code / 125;
+                for (int i = 0; i < AGENT_COUNT; i++) m[i] = Move::IDLE;
+                m[aa] = (Move)(c1 % 5); m[ab] = (Move)(c1 / 5 % 5);
+                m[ac3] = (Move)(c1 / 25);
+                Step(&s, m);
+                m[aa] = (Move)(c2 % 5); m[ab] = (Move)(c2 / 5 % 5);
+                m[ac3] = (Move)(c2 / 25);
+                Step(&s, m);
+                dumpState(s);
+            }
+            return 0;
+        }
         for (int code = 0; code < 36 * 36; code++)
         {
             State s = *base;  // POD copy
