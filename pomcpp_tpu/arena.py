@@ -52,6 +52,12 @@ def play_games(names, games: int, steps: int, ppo_params=None,
     e.g. ``{"n_sim": 24, "depth": 12}`` for mcts).  Jit-compiled per
     distinct line-up.
 
+    Multi-net line-ups (league over generations): pass ``ppo_params`` as a
+    DICT and use roster names of the form ``ppo:<key>`` / ``azmcts:<key>``;
+    each slot then loads ``ppo_params[name]`` -- e.g.
+    ``["ppo:gen2", "ppo:gen1", "simple", "simple"]`` with
+    ``{"ppo:gen2": p2, "ppo:gen1": p1}``.
+
     The all-done early exit is only polled every ``check_every`` steps:
     a host fetch is the one real barrier on the remote-TPU path, and
     polling per step serializes the loop on tunnel latency.  Terminal
@@ -60,33 +66,41 @@ def play_games(names, games: int, steps: int, ppo_params=None,
     """
     assert len(names) == 4
 
+    def net_params(name):
+        """Slot params: ``ppo_params[name]`` for a dict roster, else the
+        single shared pytree."""
+        if isinstance(ppo_params, dict):
+            return ppo_params[name]
+        return ppo_params
+
     def act_one(key, game, aid, pstate, name):
+        kind = name.split(":", 1)[0]
         if name == "simple":
             return simple_agent_cell_policy(key, game, aid, pstate)
-        if name in ("mcts", "lookahead", "azmcts"):
+        if kind in ("mcts", "lookahead", "azmcts"):
             from .search import lookahead_moves, mcts_moves, mcts_moves_net
 
             gb = jax.tree.map(lambda x: x[None], game)
-            if name == "azmcts":
+            if kind == "azmcts":
                 from .learner.ppo import _MODEL
 
                 mv, _, _ = mcts_moves_net(
-                    gb, aid, key, _MODEL.apply, ppo_params,
+                    gb, aid, key, _MODEL.apply, net_params(name),
                     **(search_kwargs or {}),
                 )
-            elif name == "mcts":
+            elif kind == "mcts":
                 mv, _, _ = mcts_moves(gb, aid, key, **(search_kwargs or {}))
             else:
                 mv, _ = lookahead_moves(gb, aid, key,
                                         **(search_kwargs or {}))
             return mv[0], pstate
-        if name == "ppo":
+        if kind == "ppo":
             from .env.observation import observe_ego
             from .learner.ppo import _MODEL
             from .models.actor_critic import obs_to_features
 
             feats = obs_to_features(observe_ego(game, aid))
-            logits, _ = _MODEL.apply(ppo_params, feats)
+            logits, _ = _MODEL.apply(net_params(name), feats)
             return jax.random.categorical(key, logits).astype(I32), pstate
         return _STATELESS[name](key, game, aid), pstate
 

@@ -218,11 +218,15 @@ _SKIP = frozenset(
 )
 
 
-def _step_block(board, hidden, ftimer, btimer, bstr, bdir, bown,
-                ax, ay, abc, amb, ast, akick, adead, moves):
+def _step_block(board, hidden, ftimer, bp, ax, ay, abc, amb, ast, akick,
+                adead, moves):
     """One full step on a [BLOCK, LANES] tile set.  All i32 except noted.
 
-    ``ax..adead, moves`` are [BLOCK, 4] i32.  Returns the same structure.
+    ``bp`` is the PACKED bomb plane (timer bits [0,4), strength [4,10),
+    dir [10,13), owner [13,15)) -- r4 keeps it packed across the whole
+    chunk loop so the per-step pack/unpack (~10 plane ops) is paid once
+    per chunk, not once per step.  ``ax..adead, moves`` are [BLOCK, 4]
+    i32.  Returns the same structure.
     """
     block = board.shape[0]
     valid = _valid_mask(block)
@@ -243,7 +247,7 @@ def _step_block(board, hidden, ftimer, btimer, bstr, bdir, bown,
     # tests/test_pallas_step.py).
     old_ax, old_ay = ax, ay
     if "move" in _SKIP:
-        return (board, hidden, ftimer, btimer, bstr, bdir, bown,
+        return (board, hidden, ftimer, bp,
                 ax, ay, abc, amb, ast, akick, adead)
     alive = adead == 0
     lane = _lane_iota(block)
@@ -296,7 +300,7 @@ def _step_block(board, hidden, ftimer, btimer, bstr, bdir, bown,
     # Packed plane read: ONE lane reduction yields, per agent, the board
     # item + bomb presence at the destination (5-bit fields, bits [0,20))
     # and bomb presence at the origin (1-bit fields, bits [20,24)).
-    bomb_b = (btimer > 0).astype(I32)
+    bomb_b = ((bp & 15) > 0).astype(I32)
     pk = board + (bomb_b << 4)
     rdcell = jnp.where(inb, ac + off, 127)  # void lane reads 0
     oh_dest = [lane == rdcell[:, i : i + 1] for i in range(4)]
@@ -337,11 +341,12 @@ def _step_block(board, hidden, ftimer, btimer, bstr, bdir, bown,
         )
         move = base & (enterable | vac | ouro_enter)
 
-    # Kicks.
+    # Kicks (write the packed dir field).
     kick = move & (akick != 0) & bomb_at_dest
     for i in range(4):
-        bdir = jnp.where(
-            oh_dest[i] & kick[:, i : i + 1], m[:, i : i + 1], bdir
+        sel = oh_dest[i] & kick[:, i : i + 1]
+        bp = jnp.where(
+            sel, (bp & ~(7 << 10)) | (m[:, i : i + 1] << 10), bp
         )
 
     # Powerups.
@@ -365,20 +370,17 @@ def _step_block(board, hidden, ftimer, btimer, bstr, bdir, bown,
     ax = ac % BOARD_SIZE
     ay = ac // BOARD_SIZE
 
-    # Plants.
+    # Plants (one packed write: timer=BOMB_LIFETIME+1, str, owner, dir=0).
     plant = alive & (m == M_BOMB) & (abc < amb) & ~org_bomb
     pmask = jnp.zeros((block, LANES), jnp.bool_)
-    strp = jnp.zeros((block, LANES), I32)
-    ownp = jnp.zeros((block, LANES), I32)
+    packp = jnp.zeros((block, LANES), I32)
     for i in range(4):
         sel = oh_org[i] & plant[:, i : i + 1]
         pmask = pmask | sel
-        strp = strp + sel * ast[:, i : i + 1]
-        ownp = ownp + sel * i
-    btimer = jnp.where(pmask, BOMB_LIFETIME + 1, btimer)
-    bstr = jnp.where(pmask, strp, bstr)
-    bown = jnp.where(pmask, ownp, bown)
-    bdir = jnp.where(pmask, 0, bdir)
+        packp = packp + sel * (
+            (BOMB_LIFETIME + 1) + (ast[:, i : i + 1] << 4) + (i << 13)
+        )
+    bp = jnp.where(pmask, packp, bp)
     abc = abc + plant
 
     # ---- Phase 2: bomb kinematics -----------------------------------------
@@ -387,11 +389,11 @@ def _step_block(board, hidden, ftimer, btimer, bstr, bdir, bown,
     # sliding advances one plane instead of four; per-agent position reads
     # are single packed lane-reductions; the reversion chain walks with
     # 4-lane rotations under a while_loop (typical chains: 1-2 rounds).
+    # r4: the plane arrives and leaves packed (the chunk loop carries it).
     if "bomb" in _SKIP:
-        return (board, hidden, ftimer, btimer, bstr, bdir, bown,
+        return (board, hidden, ftimer, bp,
                 ax, ay, abc, amb, ast, akick, adead)
-    bp0 = btimer + (bstr << 4) + (bdir << 10) + (bown << 13)
-    dir0 = bdir
+    dir0 = (bp >> 10) & 7
     directional_move = (m >= 1) & (m <= 4)
     alive2 = adead == 0
 
@@ -609,38 +611,34 @@ def _step_block(board, hidden, ftimer, btimer, bstr, bdir, bown,
         return board, new_bp, ac_, slide
 
     (board, bp, ac, slide_i) = jax.lax.cond(
-        jnp.any((bp_timer(bp0) > 0) & (bp_dir(bp0) != 0)),
+        jnp.any(((bp & 15) > 0) & (((bp >> 10) & 7) != 0)),
         full_bomb_phase, idle_bomb_phase,
-        (board, bp0, ac),
+        (board, bp, ac),
     )
     ax = ac % BOARD_SIZE
     ay = ac // BOARD_SIZE
-    btimer = bp & 15
-    bstr = (bp >> 4) & 63
-    bdir = (bp >> 10) & 7
-    bown = (bp >> 13) & 3
     slide_explode = slide_i != 0
 
-    # ---- Phase 3: explosions ----------------------------------------------
+    # ---- Phase 3: explosions (operates on the PACKED bomb plane) ----------
     if "explode" in _SKIP:
-        return (board, hidden, ftimer, btimer, bstr, bdir, bown,
+        return (board, hidden, ftimer, bp,
                 ax, ay, abc, amb, ast, akick, adead)
-    has_bomb = btimer > 0
-    btimer = jnp.where(
-        slide_explode, btimer, jnp.where(has_bomb, btimer - 1, 0)
-    )
-    explode = ((btimer == 0) & has_bomb) | slide_explode
+    has_bomb = (bp & 15) > 0
+    # Timer tick in place: decrement the low field (timer > 0, no borrow);
+    # slide-detonating bombs keep their timer (they explode regardless).
+    bp = jnp.where(has_bomb & ~slide_explode, bp - 1, bp)
+    explode = (((bp & 15) == 0) & has_bomb) | slide_explode
     live = slide_explode
 
     def explosion_round(carry):
-        (board, hidden, ftimer, btimer, bstr, bdir, bown, abc, adead,
-         explode, live) = carry
+        board, hidden, ftimer, bp, abc, adead, explode, live = carry
+        own_pl = (bp >> 13) & 3
         live_strength = jnp.zeros((block, LANES), I32)
         for i in range(4):
             live_strength = jnp.where(
-                bown == i, ast[:, i : i + 1], live_strength
+                own_pl == i, ast[:, i : i + 1], live_strength
             )
-        s_cell = jnp.where(live != 0, live_strength, bstr)
+        s_cell = jnp.where(live != 0, live_strength, (bp >> 4) & 63)
 
         arriving = _ray_reach(board, jnp.where(explode != 0, s_cell, _NEG))
         burn = (explode != 0) | ((arriving >= 0) & (board != C_RIGID) & valid)
@@ -654,31 +652,27 @@ def _step_block(board, hidden, ftimer, btimer, bstr, bdir, bown,
         lane4_ = jax.lax.broadcasted_iota(I32, (block, 4), 1)
         red = jnp.sum(
             jnp.where(kill_cell, 1 << (20 + board - C_AGENT0), 0)
-            + jnp.where(explode != 0, 1 << (5 * bown), 0),
+            + jnp.where(explode != 0, 1 << (5 * own_pl), 0),
             axis=1, keepdims=True,
         )
         hit = ((red >> (20 + lane4_)) & 1) != 0
         adead = jnp.where(hit, 1, adead)
         abc = abc - ((red >> (5 * lane4_)) & 31)
 
-        next_explode = (burn & (btimer > 0) & (explode == 0)).astype(I32)
+        next_explode = (burn & ((bp & 15) > 0) & (explode == 0)).astype(I32)
 
         hidden = jnp.where(burn, jnp.where(was_wood, hidden, 0), hidden)
         board = jnp.where(burn, C_FLAME, board)
         ftimer = jnp.where(burn, FLAME_LIFETIME, ftimer)
-        zero = explode != 0
-        btimer = jnp.where(zero, 0, btimer)
-        bstr = jnp.where(zero, 0, bstr)
-        bdir = jnp.where(zero, 0, bdir)
-        bown = jnp.where(zero, 0, bown)
-        return (board, hidden, ftimer, btimer, bstr, bdir, bown, abc, adead,
+        bp = jnp.where(explode != 0, 0, bp)
+        return (board, hidden, ftimer, bp, abc, adead,
                 next_explode, next_explode)
 
     # i32 masks in the cond carry (stored narrow bools break Mosaic).
     # The chain rounds NEST inside each other's taken branch (r4): a step
     # with no explosion pays ONE any+cond instead of MAX_CHAIN_ROUNDS of
     # them, and a depth-1 chain (the overwhelmingly common case) pays two.
-    carry = (board, hidden, ftimer, btimer, bstr, bdir, bown, abc, adead,
+    carry = (board, hidden, ftimer, bp, abc, adead,
              explode.astype(I32), live.astype(I32))
 
     def _chain(depth, c):
@@ -688,13 +682,12 @@ def _step_block(board, hidden, ftimer, btimer, bstr, bdir, bown,
         def taken(c):
             return _chain(depth - 1, explosion_round(c))
 
-        return jax.lax.cond(jnp.any(c[9] != 0), taken, lambda c: c, c)
+        return jax.lax.cond(jnp.any(c[6] != 0), taken, lambda c: c, c)
 
     carry = _chain(MAX_CHAIN_ROUNDS, carry)
-    (board, hidden, ftimer, btimer, bstr, bdir, bown, abc, adead,
-     _, _) = carry
+    board, hidden, ftimer, bp, abc, adead, _, _ = carry
 
-    return (board, hidden, ftimer, btimer, bstr, bdir, bown,
+    return (board, hidden, ftimer, bp,
             ax, ay, abc, amb, ast, akick, adead)
 
 
@@ -796,15 +789,16 @@ def _chunk_kernel(seed_ref, *refs, steps: int, n_moves: int = 6,
             bits = pltpu.prng_random_bits((block, LANES))
             pos = (pltpu.bitcast(bits, jnp.int32) >> 1) & 0x3FFFFFFF
             drawn = pos[:, :4] % (5 if simple else n_moves)
-        game = carry[:14]
+        game = carry[:11]
         if simple:
             from .pallas_fsm import fsm_block
 
-            (board, hidden, ftimer, btimer, bstr, bdir, bown,
+            (board, hidden, ftimer, bpp,
              ax, ay, abc, amb, ast, akick, adead) = game
-            fsm = carry[14:]
+            fsm = carry[11:]
             moves, rp2, rph2, rpc2, mq2 = fsm_block(
-                board, btimer, bstr, ax + BOARD_SIZE * ay, abc, amb,
+                board, bpp & 15, (bpp >> 4) & 63,
+                ax + BOARD_SIZE * ay, abc, amb,
                 adead, drawn,
                 list(fsm[0:4]), fsm[4], fsm[5], list(fsm[6:10]),
             )
@@ -828,7 +822,7 @@ def _chunk_kernel(seed_ref, *refs, steps: int, n_moves: int = 6,
 
         # Auto-reset finished boards (<= 1 agent alive); board regeneration
         # is skipped entirely when no board in the block finished.
-        adead = game[13]
+        adead = game[10]
         alive = 4 - jnp.sum(adead, axis=1, keepdims=True)
         done = alive <= 1  # [block, 1]
 
@@ -840,7 +834,10 @@ def _chunk_kernel(seed_ref, *refs, steps: int, n_moves: int = 6,
             return carry
 
         def do_reset(carry):
-            fresh = _fresh_boards(block)
+            f14 = _fresh_boards(block)
+            # Fresh boards have no bombs: the packed plane is the zero
+            # plane (f14 carries four separate zero planes; keep one).
+            fresh = f14[:3] + (f14[3],) + f14[7:]
             if simple:
                 # Ring slots reset to encoded (0,0), not 0 -- see
                 # simple_fsm_state_init (stale-slot reads in _HasRPLoop).
@@ -856,9 +853,16 @@ def _chunk_kernel(seed_ref, *refs, steps: int, n_moves: int = 6,
             jnp.any(done), do_reset, lambda c: c, carry
         )
 
-    carry = tuple(r[:] for r in state_in)
+    full = tuple(r[:] for r in state_in)
+    # Pack the four bomb planes ONCE per chunk; the loop carries the packed
+    # plane and _step_block consumes/produces it directly.
+    bp0 = full[3] + (full[4] << 4) + (full[5] << 10) + (full[6] << 13)
+    carry = full[:3] + (bp0,) + full[7:]
     carry = jax.lax.fori_loop(0, steps, body, carry)
-    for ref, val in zip(state_out, carry):
+    bp = carry[3]
+    out = (carry[:3] + (bp & 15, (bp >> 4) & 63, (bp >> 10) & 7,
+                        (bp >> 13) & 3) + carry[4:])
+    for ref, val in zip(state_out, out):
         ref[:] = val
 
 
@@ -1049,12 +1053,16 @@ def _kernel(board_ref, hidden_ref, ftimer_ref, btimer_ref, bstr_ref,
             akick_ref, adead_ref, moves_ref,
             o_board, o_hidden, o_ftimer, o_btimer, o_bstr, o_bdir, o_bown,
             o_ax, o_ay, o_abc, o_amb, o_ast, o_akick, o_adead):
+    bp = (btimer_ref[:] + (bstr_ref[:] << 4) + (bdir_ref[:] << 10)
+          + (bown_ref[:] << 13))
     outs = _step_block(
-        board_ref[:], hidden_ref[:], ftimer_ref[:], btimer_ref[:],
-        bstr_ref[:], bdir_ref[:], bown_ref[:], ax_ref[:], ay_ref[:],
-        abc_ref[:], amb_ref[:], ast_ref[:], akick_ref[:], adead_ref[:],
-        moves_ref[:],
+        board_ref[:], hidden_ref[:], ftimer_ref[:], bp, ax_ref[:],
+        ay_ref[:], abc_ref[:], amb_ref[:], ast_ref[:], akick_ref[:],
+        adead_ref[:], moves_ref[:],
     )
+    bp = outs[3]
+    outs = (outs[:3] + (bp & 15, (bp >> 4) & 63, (bp >> 10) & 7,
+                        (bp >> 13) & 3) + outs[4:])
     refs = (o_board, o_hidden, o_ftimer, o_btimer, o_bstr, o_bdir, o_bown,
             o_ax, o_ay, o_abc, o_amb, o_ast, o_akick, o_adead)
     for ref, val in zip(refs, outs):

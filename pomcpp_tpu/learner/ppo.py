@@ -60,11 +60,21 @@ class PPOConfig(NamedTuple):
                              # ~600 launch-bound XLA ops per step
     opponent: str = ""       # "" = shared-policy self-play; else the agent
                              # slots NOT in learner_slots are driven by this
-                             # scripted policy (random/harmless/lazy/simple)
+                             # opponent policy (random/harmless/lazy/simple)
                              # and excluded from rollout storage and loss --
                              # the standard Pommerman curriculum (train one
                              # learner against the reference SimpleAgent).
+                             # "frozen": those slots act via a FROZEN net
+                             # (pass frozen_params to ppo_train_step) -- the
+                             # generational self-improvement mode (train
+                             # gen-2 against gen-1).  "frozen+simple":
+                             # cfg.frozen_slots act via the frozen net, the
+                             # remaining non-learner slots via SimpleAgent
+                             # (the mixture curriculum).
     learner_slots: tuple = (0, 1, 2, 3)  # net-controlled agent ids (static)
+    frozen_slots: tuple = ()  # slots driven by the frozen net under
+                              # opponent="frozen+simple"; with "frozen",
+                              # defaults to all non-learner slots
     max_episode_steps: int = 800  # official Pommerman step cap (draw);
                                   # without it a stalemated board (e.g. the
                                   # learner dead, two SimpleAgents dodging
@@ -81,6 +91,11 @@ class PPOConfig(NamedTuple):
                                   # contiguous slabs -- no gather, no
                                   # permutation copy (boards are iid, so
                                   # with epochs=1 the bias is negligible).
+    view_range: int = _VIEW       # observation radius (ego crop is
+                                  # (2R+1)^2).  4 = classic fogged 9x9;
+                                  # 10 covers the whole board from any
+                                  # cell = full observability (the fog
+                                  # ablation's control arm).
     randomize_positions: bool = False  # permute corner seats on every
                                   # auto-reset (reference MakeGame's
                                   # std::random_shuffle, environment.cpp:60)
@@ -111,7 +126,9 @@ def ppo_init(key: jax.Array, cfg: PPOConfig = PPOConfig()) -> TrainState:
     from ..core.board_gen import random_cell_state
 
     game = random_cell_state(jax.random.PRNGKey(0))
-    feats = obs_to_features(observe_ego(game, 0))
+    feats = obs_to_features(
+        observe_ego(game, 0, view_range=cfg.view_range), cfg.view_range
+    )
     params = _MODEL.init(key, feats)
     return TrainState(
         params=params,
@@ -121,12 +138,12 @@ def ppo_init(key: jax.Array, cfg: PPOConfig = PPOConfig()) -> TrainState:
     )
 
 
-def _policy_slots(params, game, key, slots):
+def _policy_slots(params, game, key, slots, view_range: int = _VIEW):
     """Sample net moves for the given agent ids -> (moves, logp, value, feats)."""
 
     def one(k, aid):
-        obs = observe_ego(game, aid)
-        feats = obs_to_features(obs)
+        obs = observe_ego(game, aid, view_range=view_range)
+        feats = obs_to_features(obs, view_range)
         logits, value = _MODEL.apply(params, feats)
         move = jax.random.categorical(k, logits)
         logp = jax.nn.log_softmax(logits)[move]
@@ -137,9 +154,10 @@ def _policy_slots(params, game, key, slots):
     return jax.vmap(one)(keys, ids)
 
 
-def _policy_all_agents(params, game, key):
+def _policy_all_agents(params, game, key, view_range: int = _VIEW):
     """Sample moves for all 4 agents -> (moves, logp, value, feats)."""
-    return _policy_slots(params, game, key, tuple(range(AGENT_COUNT)))
+    return _policy_slots(params, game, key, tuple(range(AGENT_COUNT)),
+                         view_range)
 
 
 def _policy_slots_batch(params, games, keys, slots):
@@ -261,7 +279,8 @@ def opponent_state_init(batch: int, cfg: "PPOConfig | None" = None):
     fused kernel (engine/pallas_fsm.py), whose state is the kernel 10-tuple
     instead of the XLA toolkit pytree.
     """
-    if cfg is not None and cfg.fused_env and cfg.opponent == "simple":
+    if (cfg is not None and cfg.fused_env
+            and cfg.opponent in ("simple", "frozen+simple")):
         from ..engine.pallas_step import simple_fsm_state_init
 
         return simple_fsm_state_init(batch)
@@ -322,7 +341,9 @@ def collect_rollout(params, es: EnvState, cfg: PPOConfig):
     def body(carry, _):
         es = carry
         k_act, k_next = jax.random.split(es.key)
-        moves, logp, value, feats = _policy_all_agents(params, es.game, k_act)
+        moves, logp, value, feats = _policy_all_agents(
+            params, es.game, k_act, cfg.view_range
+        )
         alive_before = ~es.game.agent_dead
         moves = jnp.where(es.game.agent_dead, 0, moves)
         es2 = env_step_auto_reset(
@@ -375,7 +396,7 @@ def collect_rollout(params, es: EnvState, cfg: PPOConfig):
 
 
 def collect_rollout_batch(params, es: EnvState, cfg: PPOConfig, opp_state=None,
-                          time_major: bool = False):
+                          time_major: bool = False, frozen_params=None):
     """``collect_rollout`` over the whole boards batch at once.
 
     Same semantics as ``jax.vmap(collect_rollout)`` (returns [B, T, ...]
@@ -391,9 +412,15 @@ def collect_rollout_batch(params, es: EnvState, cfg: PPOConfig, opp_state=None,
     directly; the [B, T] default remains for API compatibility.
 
     With ``cfg.opponent`` set, slots outside ``cfg.learner_slots`` act via
-    the scripted policy; the trajectory (and thus the loss) carries ONLY the
+    the opponent policy; the trajectory (and thus the loss) carries ONLY the
     learner slots ([B, T, L, ...]), and a 4th element (the opponent FSM
     state, reset alongside auto-reset boards) is returned.
+
+    ``cfg.opponent in ("frozen", "frozen+simple")`` drives opponent slots
+    with a FROZEN net (``frozen_params``, sampled like the learner but
+    never stored/trained) -- the generational self-improvement mode; with
+    "frozen+simple" the non-frozen non-learner slots stay SimpleAgent
+    (in-kernel under ``fused_env``).
     """
     from ..env.environment import env_step_auto_reset_batch
 
@@ -401,47 +428,88 @@ def collect_rollout_batch(params, es: EnvState, cfg: PPOConfig, opp_state=None,
         range(AGENT_COUNT)
     )
     sl = list(slots)
+    frozen_mode = cfg.opponent in ("frozen", "frozen+simple")
+    if frozen_mode:
+        assert frozen_params is not None, (
+            f"opponent={cfg.opponent!r} needs frozen_params"
+        )
+        frozen = tuple(cfg.frozen_slots) or tuple(
+            s for s in range(AGENT_COUNT) if s not in slots
+        )
+        assert not (set(frozen) & set(slots)), (frozen, slots)
+    else:
+        frozen = ()
+    scripted = tuple(
+        s for s in range(AGENT_COUNT)
+        if s not in slots and s not in frozen
+    ) if cfg.opponent else ()
+    if cfg.opponent == "frozen":
+        assert not scripted, (
+            "opponent='frozen' leaves slots with no policy; use "
+            "'frozen+simple' or widen frozen_slots/learner_slots"
+        )
+    # The scripted remainder of a frozen mixture is always SimpleAgent.
+    scripted_name = (
+        "simple" if cfg.opponent == "frozen+simple" else cfg.opponent
+    )
 
     def body(carry, _):
         es, opp = carry
         if cfg.opponent:
-            ks = jax.vmap(lambda k: jax.random.split(k, 3))(es.key)
+            nk = 4 if frozen_mode else 3
+            ks = jax.vmap(lambda k: jax.random.split(k, nk))(es.key)
             k_act, k_opp, k_next = ks[:, 0], ks[:, 1], ks[:, 2]
+            k_frz = ks[:, 3] if frozen_mode else None
         else:
             # Bit-identical key flow to collect_rollout (the vmapped path).
             ks = jax.vmap(jax.random.split)(es.key)
             k_act, k_next = ks[:, 0], ks[:, 1]
             k_opp = None
         moves_l, logp, value, feats = jax.vmap(
-            lambda k, g: _policy_slots(params, g, k, slots)
+            lambda k, g: _policy_slots(params, g, k, slots, cfg.view_range)
         )(k_act, es.game)
+        if frozen_mode:
+            # Frozen-net opponents: sampled exactly like the learner but
+            # with stop-grad params and nothing stored.
+            moves_f = jax.vmap(
+                lambda k, g: _policy_slots(
+                    frozen_params, g, k, frozen, cfg.view_range)[0]
+            )(k_frz, es.game)
         alive_before = ~es.game.agent_dead
-        if cfg.opponent == "simple" and cfg.fused_env:
+        if cfg.fused_env and scripted and scripted_name == "simple":
             # Mixed-control fused step: the SimpleAgent opponents run
             # INSIDE the kernel (the XLA FSM pass was the rollout
-            # bottleneck); only the learner lanes are injected.
+            # bottleneck); only the net lanes are injected.
             from ..env.environment import env_step_auto_reset_batch_fsm
 
+            inj = slots + frozen
             moves = jnp.zeros_like(es.game.agent_x)
             for i, s in enumerate(slots):
                 moves = moves.at[:, s].set(moves_l[:, i])
+            for i, s in enumerate(frozen):
+                moves = moves.at[:, s].set(moves_f[:, i])
             moves = jnp.where(es.game.agent_dead, 0, moves)
             seed = jax.random.randint(
                 k_opp[0], (), 0, jnp.iinfo(jnp.int32).max, I32
             )
             es2, opp = env_step_auto_reset_batch_fsm(
-                es._replace(key=k_next), moves, opp, slots, seed,
+                es._replace(key=k_next), moves, opp, inj, seed,
                 team_mode=cfg.team_mode,
                 max_steps=cfg.max_episode_steps,
                 randomize_positions=cfg.randomize_positions,
             )
         else:
-            if cfg.opponent:
+            if scripted:
                 moves, opp = _opponent_moves_batch(
-                    cfg.opponent, k_opp, es.game, opp
+                    scripted_name, k_opp, es.game, opp
                 )
+            else:
+                moves = jnp.zeros_like(es.game.agent_x)
+            if cfg.opponent:
                 for i, s in enumerate(slots):
                     moves = moves.at[:, s].set(moves_l[:, i])
+                for i, s in enumerate(frozen):
+                    moves = moves.at[:, s].set(moves_f[:, i])
             else:
                 moves = moves_l
             moves = jnp.where(es.game.agent_dead, 0, moves)
@@ -451,7 +519,7 @@ def collect_rollout_batch(params, es: EnvState, cfg: PPOConfig, opp_state=None,
                 max_steps=cfg.max_episode_steps,
                 randomize_positions=cfg.randomize_positions,
             )
-        if cfg.opponent == "simple":
+        if scripted and scripted_name == "simple":
             # A board that auto-reset starts its opponents from fresh FSMs.
             fresh = opponent_state_init(es.done.shape[0], cfg)
             opp = jax.tree.map(
@@ -497,7 +565,8 @@ def collect_rollout_batch(params, es: EnvState, cfg: PPOConfig, opp_state=None,
         # [T, B, ...] -> [B, T, ...] to match the vmapped collect layout.
         traj = jax.tree.map(lambda x: jnp.swapaxes(x, 0, 1), traj)
     _, _, boot_value, _ = jax.vmap(
-        lambda g: _policy_slots(params, g, jax.random.PRNGKey(0), slots)
+        lambda g: _policy_slots(params, g, jax.random.PRNGKey(0), slots,
+                                cfg.view_range)
     )(es_final.game)
     if cfg.opponent:
         return es_final, traj, boot_value, opp_final
@@ -531,7 +600,7 @@ def compute_gae(traj: Transition, boot_value, cfg: PPOConfig):
 
 def _ppo_loss(params, batch, cfg: PPOConfig):
     feats, move, old_logp, adv, ret, alive = batch
-    view_w = 2 * _VIEW + 1
+    view_w = 2 * cfg.view_range + 1
     logits, value = jax.vmap(
         lambda f: _MODEL.apply(params, f.reshape(view_w, view_w, -1))
     )(feats)
@@ -620,7 +689,7 @@ def ppo_update(ts: TrainState, flat_batch, cfg: PPOConfig):
 
 
 def ppo_train_step(ts: TrainState, es_batch: EnvState, cfg: PPOConfig = PPOConfig(),
-                   opp_state=None):
+                   opp_state=None, frozen_params=None):
     """One full PPO iteration over a batched env: collect + GAE + update.
 
     ``es_batch`` has a leading boards axis (shard it over the mesh); the
@@ -630,6 +699,8 @@ def ppo_train_step(ts: TrainState, es_batch: EnvState, cfg: PPOConfig = PPOConfi
 
     With ``cfg.opponent`` set the return gains a 4th element (the scripted
     opponents' FSM state — thread it back in, or pass None to start fresh).
+    ``frozen_params`` feeds the "frozen"/"frozen+simple" opponent modes
+    (generational self-improvement: gen-2 trains against a frozen gen-1).
     """
     opp_final = None
     # The batched collectors keep the scan's time-major [T, B, ...] layout:
@@ -638,10 +709,11 @@ def ppo_train_step(ts: TrainState, es_batch: EnvState, cfg: PPOConfig = PPOConfi
     # (at batch 4096 x rollout 64 that copy + its reshape temp OOM'd HBM).
     time_major = bool(cfg.opponent) or cfg.fused_env
     if cfg.opponent:
-        if opp_state is None and cfg.opponent == "simple":
+        if opp_state is None and cfg.opponent in ("simple", "frozen+simple"):
             opp_state = opponent_state_init(es_batch.done.shape[0], cfg)
         es_final, traj, boot, opp_final = collect_rollout_batch(
-            ts.params, es_batch, cfg, opp_state, time_major=True
+            ts.params, es_batch, cfg, opp_state, time_major=True,
+            frozen_params=frozen_params,
         )
     elif cfg.fused_env:
         es_final, traj, boot = collect_rollout_batch(

@@ -4,8 +4,11 @@ Usage: python scripts/bench_chunk.py [harmless random] [--batch N] [--chunk K]
 Prints per-config steps/s (honest host-fetch timing).
 """
 
+import os
 import sys
 import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import jax
 

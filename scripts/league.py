@@ -7,6 +7,11 @@ Usage:
       --rounds 6 --games 32 --steps 300 [--ckpt build/ppo_ckpt] [--cpu]
 Include ``ppo`` (raw net) or ``azmcts`` (net-guided PUCT) in the roster
 to rate a trained checkpoint.
+
+Multi-generation league: name checkpoints with ``--ckpt gen1=PATH,gen2=PATH``
+and use roster entries ``ppo:gen1,ppo:gen2,azmcts:gen2`` -- each slot loads
+its own params (arena.play_games dict mode), so generations can be rated
+against each other (VERDICT r3 item 3).
 """
 
 from __future__ import annotations
@@ -39,14 +44,24 @@ def main() -> None:
     from pomcpp_tpu.arena import League, play_games
 
     roster = args.roster.split(",")
+    net_names = [n for n in roster if n.split(":")[0] in ("ppo", "azmcts")]
     ppo_params = None
-    if "ppo" in roster or "azmcts" in roster:
+    if net_names:
         from pomcpp_tpu.learner import ppo_init
         from pomcpp_tpu.utils import restore_checkpoint
 
-        ts = ppo_init(jax.random.PRNGKey(0))
-        ts = restore_checkpoint(args.ckpt, ts)
-        ppo_params = ts.params
+        ts0 = ppo_init(jax.random.PRNGKey(0))
+        if "=" in args.ckpt:
+            # Named checkpoints: gen1=PATH,gen2=PATH -> dict params keyed
+            # by the full roster name (ppo:gen1, azmcts:gen2, ...).
+            paths = dict(kv.split("=", 1) for kv in args.ckpt.split(","))
+            ppo_params = {}
+            for n in net_names:
+                key = n.split(":", 1)[1] if ":" in n else n
+                ppo_params[n] = restore_checkpoint(paths[key], ts0).params
+        else:
+            ts = restore_checkpoint(args.ckpt, ts0)
+            ppo_params = ts.params
 
     league = League(roster)
     # Balanced 2+2 line-ups over all roster pairs, alternating seats.

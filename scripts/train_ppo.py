@@ -59,11 +59,23 @@ def main() -> None:
                    help="reward subtracted from survivors of a step-cap "
                         "draw (discourages running out the clock)")
     p.add_argument("--opponent", type=str, default="",
-                   help="scripted policy (random/harmless/lazy/simple) for "
-                        "the slots NOT in --learner-slots; '' = self-play")
+                   help="policy for the slots NOT in --learner-slots "
+                        "(random/harmless/lazy/simple, or frozen / "
+                        "frozen+simple for a frozen-net generation -- "
+                        "see --frozen-ckpt); '' = self-play")
     p.add_argument("--learner-slots", type=str, default="0",
                    help="comma-separated net-controlled agent ids "
                         "(only with --opponent)")
+    p.add_argument("--frozen-ckpt", type=str, default="",
+                   help="checkpoint whose params drive the frozen-net "
+                        "opponent slots (opponent=frozen/frozen+simple)")
+    p.add_argument("--frozen-slots", type=str, default="",
+                   help="comma-separated frozen-net agent ids for "
+                        "opponent=frozen+simple (rest run SimpleAgent); "
+                        "empty = all non-learner slots")
+    p.add_argument("--view-range", type=int, default=4,
+                   help="observation radius (4 = classic fogged 9x9 view; "
+                        "10 = full observability, the fog-ablation control)")
     p.add_argument("--randomize-positions", action="store_true",
                    help="permute corner seats on every reset (reference "
                         "MakeGame's random_shuffle) so the learner trains "
@@ -87,14 +99,25 @@ def main() -> None:
         mbs = 2
         while n // mbs > 128 * 1024:
             mbs *= 2
+    frozen_slots = tuple(
+        int(s) for s in args.frozen_slots.split(",") if s != ""
+    )
     cfg = PPOConfig(rollout_len=args.rollout, lr=args.lr, team_mode=args.team,
                     fused_env=args.fused, epochs=args.epochs,
                     minibatches=mbs,
                     draw_penalty=args.draw_penalty,
                     opponent=args.opponent,
                     learner_slots=slots,
+                    frozen_slots=frozen_slots,
+                    view_range=args.view_range,
                     randomize_positions=args.randomize_positions)
     ts = ppo_init(jax.random.PRNGKey(args.seed), cfg)
+    frozen_params = None
+    if args.opponent in ("frozen", "frozen+simple"):
+        from pomcpp_tpu.utils import restore_checkpoint as _restore
+
+        assert args.frozen_ckpt, "--opponent frozen needs --frozen-ckpt"
+        frozen_params = _restore(args.frozen_ckpt, ts).params
     if args.resume and args.ckpt_dir and os.path.exists(args.ckpt_dir):
         ts = restore_checkpoint(args.ckpt_dir, ts)
         print(f"resumed from {args.ckpt_dir} at update {int(ts.update_count)}")
@@ -115,7 +138,9 @@ def main() -> None:
         if args.batch % len(jax.devices()) == 0:
             opp = shard_batch(opp, mesh)
         step = jax.jit(
-            lambda ts, es, opp: ppo_train_step(ts, es, cfg, opp)
+            lambda ts, es, opp: ppo_train_step(
+                ts, es, cfg, opp, frozen_params=frozen_params
+            )
         )
     else:
         opp = None

@@ -187,6 +187,59 @@ def test_opponent_simple_train_step_runs():
     assert np.asarray(opp.rp_count).sum() > 0
 
 
+def test_opponent_frozen_train_step_runs():
+    """Generational mode: opponent slots driven by a FROZEN net.  The train
+    step runs, updates the learner, and leaves the frozen params untouched;
+    the frozen net's moves actually differ from lazy idling."""
+    cfg = PPOConfig(rollout_len=4, epochs=1, minibatches=2,
+                    opponent="frozen", learner_slots=(0,))
+    ts = ppo_init(jax.random.PRNGKey(0), cfg)
+    frozen = ppo_init(jax.random.PRNGKey(99), cfg).params
+    frozen_copy = jax.tree.map(np.asarray, frozen)
+    es = jax.vmap(lambda k: env_reset(k, engine="cellular"))(
+        jax.random.split(jax.random.PRNGKey(6), 4)
+    )
+    x0 = np.asarray(es.game.agent_x)
+    y0 = np.asarray(es.game.agent_y)
+    step = jax.jit(lambda ts, es: ppo_train_step(
+        ts, es, cfg, frozen_params=frozen))
+    ts, es, metrics, _ = step(ts, es)
+    ts, es, metrics, _ = step(ts, es)
+    assert int(ts.update_count) == 2
+    assert np.isfinite(float(metrics["loss"]))
+    # Frozen opponents acted (a random-init net moves somebody).
+    xf = np.asarray(es.game.agent_x)
+    yf = np.asarray(es.game.agent_y)
+    assert (x0[:, 1:] != xf[:, 1:]).any() or (y0[:, 1:] != yf[:, 1:]).any()
+    for a, b in zip(jax.tree.leaves(frozen), jax.tree.leaves(frozen_copy)):
+        assert np.array_equal(np.asarray(a), b)
+
+
+def test_opponent_frozen_plus_simple_mixture():
+    """frozen+simple: frozen_slots run the frozen net, the rest SimpleAgent;
+    storage still carries only learner slots and the FSM state threads."""
+    from pomcpp_tpu.learner.ppo import (
+        collect_rollout_batch,
+        opponent_state_init,
+    )
+
+    cfg = PPOConfig(rollout_len=5, epochs=1, minibatches=2,
+                    opponent="frozen+simple", learner_slots=(0,),
+                    frozen_slots=(2,))
+    ts = ppo_init(jax.random.PRNGKey(0), cfg)
+    frozen = ppo_init(jax.random.PRNGKey(99), cfg).params
+    es = jax.vmap(lambda k: env_reset(k, engine="cellular"))(
+        jax.random.split(jax.random.PRNGKey(7), 4)
+    )
+    opp = opponent_state_init(4, cfg)
+    es_final, traj, boot, opp2 = jax.jit(
+        lambda e, o: collect_rollout_batch(
+            ts.params, e, cfg, o, frozen_params=frozen)
+    )(es, opp)
+    assert traj.move.shape == (4, 5, 1)  # [B, T, L] default layout
+    assert np.asarray(opp2.rp_count).sum() > 0  # SimpleAgents (1,3) acted
+
+
 def test_draw_penalty_on_step_cap_timeout():
     """A step-cap draw pays -draw_penalty to surviving learners, exactly on
     the episode-boundary step, in both rollout collectors."""

@@ -28,8 +28,7 @@ def _free_port() -> int:
         return s.getsockname()[1]
 
 
-@pytest.mark.slow
-def test_two_process_sharded_train_step():
+def _run_workers(mode: str):
     port = _free_port()
     outdir = tempfile.mkdtemp()
     env = dict(
@@ -39,7 +38,7 @@ def test_two_process_sharded_train_step():
     env.pop("JAX_PLATFORMS", None)  # worker pins cpu itself
     procs = [
         subprocess.Popen(
-            [sys.executable, WORKER, str(pid), "2", str(port), outdir],
+            [sys.executable, WORKER, str(pid), "2", str(port), outdir, mode],
             env=env,
             stdout=subprocess.PIPE,
             stderr=subprocess.STDOUT,
@@ -62,7 +61,12 @@ def test_two_process_sharded_train_step():
     for pid in range(2):
         with open(os.path.join(outdir, f"result_{pid}.json")) as f:
             results.append(json.load(f))
-    r0, r1 = results
+    return results
+
+
+@pytest.mark.slow
+def test_two_process_sharded_train_step():
+    r0, r1 = _run_workers("ppo")
     assert r0["n_global_devices"] == 8
     assert r1["n_global_devices"] == 8
     # Replicated state must agree bit-for-bit across processes.
@@ -70,3 +74,51 @@ def test_two_process_sharded_train_step():
     assert r0["loss"] == r1["loss"]
     assert r0["reward_mean"] == r1["reward_mean"]
     assert r0["episodes"] == r1["episodes"]
+
+
+@pytest.mark.slow
+def test_two_process_sharded_chunk_rollout():
+    """The PRODUCTION chunk kernel under jax.distributed (VERDICT r3 #4):
+    2 processes x 4 devices run ``sharded_chunk_rollout`` (interpret mode,
+    injected moves) over a global 16-board batch; every process's local
+    output shards must be bit-identical to the same rows of a
+    single-process 8-device run of the identical program."""
+    import importlib.util
+
+    import jax
+    import numpy as np
+
+    spec = importlib.util.spec_from_file_location("mp_worker", WORKER)
+    worker = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(worker)
+
+    results = _run_workers("chunk")
+
+    # Single-process reference run over this test process's 8 devices.
+    from pomcpp_tpu.parallel import boards_mesh
+    from pomcpp_tpu.parallel.mesh import shard_batch, sharded_chunk_rollout
+
+    mesh = boards_mesh()
+    cs_local, moves_np, batch, steps = worker.chunk_inputs()
+    cs = shard_batch(jax.tree.map(jax.numpy.asarray, cs_local), mesh)
+    run = sharded_chunk_rollout(
+        mesh, steps=steps, policy="random", interpret=True,
+        inject=True, auto_reset=False,
+    )
+    out = run(cs, 0, moves=moves_np)
+    ref_np = {
+        name: np.asarray(getattr(out, name))
+        for name in type(out)._fields
+        if getattr(out, name).ndim >= 1
+        and getattr(out, name).shape[:1] == (batch,)
+    }
+
+    covered = []
+    for r in results:
+        assert r["n_global_devices"] == 8
+        assert r["rows_sha256"] == worker.rows_hash(ref_np, r["rows"]), (
+            f"process {r['pid']} chunk shards diverge from the "
+            f"single-process run (rows {r['rows']})"
+        )
+        covered += r["rows"]
+    assert sorted(covered) == list(range(batch))
