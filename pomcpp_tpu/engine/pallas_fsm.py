@@ -522,14 +522,13 @@ def fsm_block(board, btimer, bstr, ac, abc, amb, adead, rand,
             val = jnp.where(ok_s[s] & (rank_s[s] == rslot), mv, val)
         new_mq.append(jnp.where(rslot < mq_count, val, mq[rslot]))
 
-    # Ring in logical order (loop-invariant for the sort).
-    rpl = []
-    for j in range(4):
-        logical = (rph + j) % 4
-        v = jnp.zeros((block, 4), I32)
-        for k in range(4):
-            v = jnp.where(logical == k, rp[k], v)
-        rpl.append(v)
+    # r4: the ring is STORED in logical order (slot 0 = oldest; rph is a
+    # carried constant 0), so the 16-where physical->logical gather the
+    # sort and rp-loop used to pay per step disappears; a full ring pushes
+    # by shifting slots down (see the update at the end).  Stale-slot
+    # semantics are unchanged: slots >= count hold _RP_STALE exactly as
+    # the head-0 physical layout did.
+    rpl = list(rp)
 
     # SortDirections: replicate the RemoveAt+AddElem aliasing walk
     # (strategy.hpp:130-152 via strategy/moves.py:sort_directions).
@@ -631,13 +630,14 @@ def fsm_block(board, btimer, bstr, ac, abc, amb, adead, rand,
 
     # recentPositions ring update with the final move's desired position
     # (_mv_dxdy gives (0,0) for IDLE and BOMB, like DesiredPosition).
+    # Logical-order push: a full ring shifts down (dropping the oldest)
+    # and appends at slot 3; a filling ring appends at slot ``count``.
     fdx, fdy = _mv_dxdy(move)
     enc_new = _enc_pos(acx + fdx, acy + fdy)
     full = rpc == 4
-    head2 = jnp.where(full, (rph + 1) % 4, rph)
-    cnt2 = jnp.where(full, rpc - 1, rpc)
-    slot = (head2 + cnt2) % 4
+    base = [jnp.where(full, rp[k + 1], rp[k]) for k in range(3)] + [rp[3]]
+    slot = jnp.where(full, 3, rpc)
     rp_out = [
-        jnp.where(slot == k, enc_new, rp[k]) for k in range(4)
+        jnp.where(slot == k, enc_new, base[k]) for k in range(4)
     ]
-    return move, rp_out, head2, cnt2 + 1, mq_out
+    return move, rp_out, jnp.zeros_like(rph), jnp.minimum(rpc + 1, 4), mq_out

@@ -27,6 +27,7 @@ tests/test_pallas_step.py.
 from __future__ import annotations
 
 import functools
+import os as _os
 
 import jax
 import jax.numpy as jnp
@@ -55,8 +56,10 @@ from .cellular import CellState
 
 LANES = 128
 BLOCK = 256        # boards per grid block (single-step kernel)
-CHUNK_BLOCK = 128  # smaller block for the multi-step chunk kernel: its
-                   # in-loop temporaries must fit the 16MB scoped VMEM
+CHUNK_BLOCK = int(_os.environ.get("PALLAS_CHUNK_BLOCK", "128"))
+                   # boards per grid block of the multi-step chunk kernel:
+                   # in-loop temporaries must fit the 16MB scoped VMEM at
+                   # 128; 256 measured slower (r2), env knob for profiling
 MAX_CHAIN_ROUNDS = 4
 _NEG = -1000
 _RP_STALE = 14     # pallas_fsm._enc_pos(0, 0): what a never-written FSM
@@ -203,13 +206,13 @@ def _ray_reach(board, origin_allowance):
     a0 = origin_allowance
     # i32 burn mask: bool planes in a while carry break Mosaic layouts.
     burn0 = jnp.zeros_like(board)
-    e1, e2, e3, e4, burn, _ = jax.lax.while_loop(
-        cond, body, (a0, a0, a0, a0, burn0, jnp.zeros((), I32))
-    )
+    # First body straight-line: callers only explode bombs with strength
+    # >= 1, so the entry check is provably true -- the common strength-1/2
+    # blast finishes with ONE any instead of two.
+    carry = body((a0, a0, a0, a0, burn0, jnp.zeros((), I32)))
+    e1, e2, e3, e4, burn, _ = jax.lax.while_loop(cond, body, carry)
     return jnp.where(burn != 0, 0, _NEG)
 
-
-import os as _os
 
 # Trace-time phase-skip knob for cost-attribution experiments only
 # (PALLAS_SKIP_PHASES=move,bomb,explode); never set in production.
@@ -834,17 +837,6 @@ def _chunk_kernel(seed_ref, *refs, steps: int, n_moves: int = 6,
             return carry
 
         def do_reset(carry):
-            f14 = _fresh_boards(block)
-            # Fresh boards have no bombs: the packed plane is the zero
-            # plane (f14 carries four separate zero planes; keep one).
-            fresh = f14[:3] + (f14[3],) + f14[7:]
-            if simple:
-                # Ring slots reset to encoded (0,0), not 0 -- see
-                # simple_fsm_state_init (stale-slot reads in _HasRPLoop).
-                rp = jnp.full((block, 4), _RP_STALE, I32)
-                fresh = fresh + (rp, rp, rp, rp) + tuple(
-                    jnp.zeros((block, 4), I32) for _ in range(6)
-                )
             return tuple(
                 jnp.where(done, f, c) for f, c in zip(fresh, carry)
             )
@@ -852,6 +844,26 @@ def _chunk_kernel(seed_ref, *refs, steps: int, n_moves: int = 6,
         return jax.lax.cond(
             jnp.any(done), do_reset, lambda c: c, carry
         )
+
+    if auto_reset:
+        # Fresh replacement boards are drawn ONCE per chunk, not per step:
+        # with ~1 board/block finishing per step the reset cond fires most
+        # steps, and regenerating (~30 ops + 2 PRNG draws) inside the loop
+        # cost ~40 ms/4chunks (r4 measured).  Boards resetting at
+        # different steps of one chunk share a layout only if the SAME row
+        # resets twice within 64 steps (rare; the layout is still random
+        # across rows and chunks).
+        f14 = _fresh_boards(block)
+        # Fresh boards have no bombs: the packed plane is the zero
+        # plane (f14 carries four separate zero planes; keep one).
+        fresh = f14[:3] + (f14[3],) + f14[7:]
+        if simple:
+            # Ring slots reset to encoded (0,0), not 0 -- see
+            # simple_fsm_state_init (stale-slot reads in _HasRPLoop).
+            rp = jnp.full((block, 4), _RP_STALE, I32)
+            fresh = fresh + (rp, rp, rp, rp) + tuple(
+                jnp.zeros((block, 4), I32) for _ in range(6)
+            )
 
     full = tuple(r[:] for r in state_in)
     # Pack the four bomb planes ONCE per chunk; the loop carries the packed

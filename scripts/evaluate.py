@@ -53,20 +53,30 @@ def main() -> None:
     assert len(names) == 4, "--agents needs 4 comma-separated names"
 
     ppo_params = None
-    if "ppo" in names or "azmcts" in names:
+    kinds = [n.split(":")[0] for n in names]
+    if "ppo" in kinds or "azmcts" in kinds:
         from pomcpp_tpu.learner import ppo_init
         from pomcpp_tpu.utils import restore_checkpoint
 
-        ts = ppo_init(jax.random.PRNGKey(0))
-        ts = restore_checkpoint(args.ckpt, ts)
-        ppo_params = ts.params
+        ts0 = ppo_init(jax.random.PRNGKey(0))
+        if "=" in args.ckpt:
+            # Named checkpoints (--ckpt gen1=PATH,gen2=PATH) for multi-net
+            # line-ups like ppo:gen2,ppo:gen1,... (arena dict mode).
+            paths = dict(kv.split("=", 1) for kv in args.ckpt.split(","))
+            ppo_params = {}
+            for n in set(names):
+                if n.split(":")[0] in ("ppo", "azmcts"):
+                    key = n.split(":", 1)[1] if ":" in n else n
+                    ppo_params[n] = restore_checkpoint(paths[key], ts0).params
+        else:
+            ppo_params = restore_checkpoint(args.ckpt, ts0).params
 
     search_kwargs = None
-    if "azmcts" in names:
+    if "azmcts" in kinds:
         search_kwargs = {"n_sim": args.mcts_sims}
-    elif "mcts" in names:
+    elif "mcts" in kinds:
         search_kwargs = {"n_sim": args.mcts_sims, "depth": args.mcts_depth}
-    elif "lookahead" in names:
+    elif "lookahead" in kinds:
         search_kwargs = {"depth": args.mcts_depth}
 
     if args.rotate and args.team:

@@ -64,6 +64,45 @@ def _env(cs):
     )
 
 
+def test_fogged_policy_is_blind_beyond_radius():
+    """BEHAVIORAL fog proof (VERDICT r3 item 5): the full policy pathway
+    (observe_ego -> features -> net -> move sampling) is bit-invariant to
+    ANY change outside the view radius, while a full-view (range-10) policy
+    does react -- i.e. the fogged net provably cannot condition play on
+    hidden state, not just that the mask unit-works."""
+    from pomcpp_tpu.learner import PPOConfig, ppo_init
+    from pomcpp_tpu.learner.ppo import _policy_slots
+
+    base = _cs_with_agents()
+    # Two worlds differing only >radius-4 from agent 0 at (5,5): a bomb
+    # with live timer + a wood wall in the far corner region.
+    far = put_item(base, 10, 0, C_WOOD)
+    far = far._replace(
+        bomb_timer=far.bomb_timer.at[0 + 11 * 10].set(5),
+        bomb_strength=far.bomb_strength.at[0 + 11 * 10].set(3),
+    )
+
+    cfg4 = PPOConfig(view_range=4)
+    ts4 = ppo_init(jax.random.PRNGKey(3), cfg4)
+    key = jax.random.PRNGKey(17)
+    act = jax.jit(lambda p, g: _policy_slots(p, g, key, (0,), 4))
+    mv_a, logp_a, val_a, feats_a = act(ts4.params, base)
+    mv_b, logp_b, val_b, feats_b = act(ts4.params, far)
+    assert np.array_equal(np.asarray(feats_a), np.asarray(feats_b))
+    assert int(mv_a[0]) == int(mv_b[0])
+    assert float(logp_a[0]) == float(logp_b[0])
+    assert float(val_a[0]) == float(val_b[0])
+
+    # Control arm: the same change IS visible at full observability --
+    # the blindness above is the fog, not policy insensitivity.
+    cfg10 = PPOConfig(view_range=10)
+    ts10 = ppo_init(jax.random.PRNGKey(3), cfg10)
+    act10 = jax.jit(lambda p, g: _policy_slots(p, g, key, (0,), 10))
+    _, _, _, f10a = act10(ts10.params, base)
+    _, _, _, f10b = act10(ts10.params, far)
+    assert not np.array_equal(np.asarray(f10a), np.asarray(f10b))
+
+
 def test_team_win_detection():
     from pomcpp_tpu.core.state import kill_many
 
