@@ -227,6 +227,12 @@ def swar_bfs(board, ac, valid):
     # waste is up to UNROLL-1 idle rounds at the end.
     UNROLL = int(_os.environ.get("FSM_BFS_UNROLL", "4"))
 
+    # Round-invariant fold (r4): new-visit candidates are masked by ONE
+    # precomputed plane, and an unvisited cell's whole 3-bit field is 000
+    # (rank bits are only ever written together with the vis bit), so the
+    # field merge is a plain OR -- ~4 fewer ops per direction.
+    vm_ent = vis_m & ent_p
+
     def one_round(c):
         # Jacobi within the round: the wave expands from the ROUND-START
         # visited set (so a cell reached this round expands next round),
@@ -235,25 +241,22 @@ def swar_bfs(board, ac, valid):
         # Sources expand even though their cells are not walkable
         # (agents block paths but are BFS targets).
         exp = (c & walk_p) | src_p
-        newacc = jnp.zeros_like(c)
         for mv in _PRIORITY:
             cand = _push(exp, mv, 0)       # parent's vis bit + rank bits
-            new = (cand & ~c) & vis_m & ent_p  # vis bits of first visits
-            newacc = newacc | new
+            new = (cand & ~c) & vm_ent     # vis bits of first visits
             mm = (new << 3) - new          # full 0b111 field masks
-            cand = (cand & nrs[mv]) | sav[mv]
-            c = (c & ~mm) | (cand & mm)
-        return c, newacc
+            c = c | (((cand & nrs[mv]) | sav[mv]) & mm)
+        return c
 
     def body(carry):
-        c, _, k = carry
-        newacc = jnp.zeros_like(c)
+        c0, _, k = carry
+        c = c0
         for _ in range(UNROLL):
-            c, na = one_round(c)
-            newacc = newacc | na
-        # ONE cross-lane reduction per UNROLL rounds (reductions cost
-        # ~an order more than element-wise ops).
-        return c, jnp.any(newacc != 0).astype(I32), k + UNROLL
+            c = one_round(c)
+        # Convergence via monotone growth: c changed iff some cell was
+        # newly visited this body.  ONE cross-lane reduction per UNROLL
+        # rounds (reductions cost ~an order more than element-wise ops).
+        return c, jnp.any(c != c0).astype(I32), k + UNROLL
 
     # FSM_BFS_FIXED=N (profiling only): run exactly ceil(N/UNROLL)
     # bodies, no convergence check -- isolates per-round cost vs count.
@@ -532,53 +535,54 @@ def fsm_block(board, btimer, bstr, ac, abc, amb, adead, rand,
 
     # SortDirections: replicate the RemoveAt+AddElem aliasing walk
     # (strategy.hpp:130-152 via strategy/moves.py:sort_directions).
-    def sort_body(carry):
-        s0, s1, s2, s3, count, i, removes = carry
-        slots = (s0, s1, s2, s3)
-        active = (i < mq_count) & (removes < 4) & (i >= 0)
-        slot_val = jnp.zeros((block, 4), I32)
-        for k in range(4):
-            slot_val = jnp.where(i == k, slots[k], slot_val)
-        mvv = jnp.clip(slot_val, 0, 5)
-        dx, dy = _mv_dxdy(mvv)
-        enc = _enc_pos(acx + dx, acy + dy)
-        vis = jnp.zeros((block, 4), jnp.bool_)
-        for j in range(4):
-            vis = vis | ((j < rpc) & (rpl[j] == enc))
-        do = active & vis
-
-        shifted = []
-        for k in range(4):
-            nxt = slots[k + 1] if k < 3 else slots[3]
-            cond_k = (k >= i) & (k < count - 1)
-            shifted.append(jnp.where(cond_k, nxt, slots[k]))
-        count2 = count - 1
-        val = jnp.zeros((block, 4), I32)
-        for k in range(4):
-            val = jnp.where(i == k, shifted[k], val)
-        out = []
-        for k in range(4):
-            app = jnp.where(jnp.clip(count2, 0, 3) == k, val, shifted[k])
-            out.append(jnp.where(do, app, slots[k]))
-        i2 = jnp.where(do, i - 1, i) + 1
-        removes2 = removes + do
-        return (out[0], out[1], out[2], out[3], count, i2, removes2)
-
-    # The walk provably terminates within 8 applications (i advances on
-    # every non-removing application, count <= 4 and removes is capped at
-    # 4), and past-termination applications are no-ops (the `active`
-    # guard).  Straight-line unrolling all 8 removes the while_loop's
-    # scalar round trips AND both per-iteration `any` reductions, which
-    # dominated this phase's cost (the slot ops are 1-vreg [block,4]).
+    #
+    # r4 packed form: a slot's identity never changes during the walk --
+    # only its POSITION -- and its visited predicate depends only on its
+    # value + the (fixed) agent cell and ring.  So the walk runs on ONE
+    # [block,4] integer per agent holding all four slots as nibbles
+    # (bits [4k,4k+3) = move value, bit 4k+3 = precomputed visited), and
+    # each application is ~20 element-wise ops (shift-window removal +
+    # nibble append) instead of ~66 slot-array selects.
     z4 = jnp.zeros((block, 4), I32)
     if "fsm_sort" in _SKIP:
         s0, s1, s2, s3 = new_mq
     else:
-        carry = (new_mq[0], new_mq[1], new_mq[2], new_mq[3], mq_count,
-                 z4, z4)
+        q = jnp.zeros((block, 4), I32)
+        for k in range(4):
+            v = jnp.clip(new_mq[k], 0, 5)
+            dx, dy = _mv_dxdy(v)
+            enc = _enc_pos(acx + dx, acy + dy)
+            vis = jnp.zeros((block, 4), jnp.bool_)
+            for j in range(4):
+                vis = vis | ((j < rpc) & (rpl[j] == enc))
+            q = q | ((v | (vis.astype(I32) << 3)) << (4 * k))
+        # Walk-invariant masks: count is fixed for the whole walk.
+        cm1 = jnp.clip(mq_count - 1, 0, 4)
+        up_mask = (1 << (4 * cm1)) - 1      # nibbles < count-1
+        sh_c = 4 * jnp.clip(mq_count - 1, 0, 3)
+        app_clear = ~(15 << sh_c)
+
+        i = z4
+        removes = z4
+        # The walk provably terminates within 8 applications (i advances
+        # on every non-removing application, count <= 4 and removes is
+        # capped at 4); past-termination applications are no-ops (the
+        # `active` guard).  Straight-line, no reductions.
         for _ in range(8):
-            carry = sort_body(carry)
-        s0, s1, s2, s3 = carry[:4]
+            active = (i < mq_count) & (removes < 4)
+            sh_i = 4 * jnp.minimum(i, 7)    # i can run past 4; bound shift
+            nib = (q >> sh_i) & 15
+            do = active & (nib >= 8)        # bit 3 = visited
+            low = (1 << sh_i) - 1
+            win = up_mask & ~low            # nibbles [i, count-1)
+            shifted = (q & ~win) | ((q >> 4) & win)
+            val = (shifted >> sh_i) & 15
+            appended = (shifted & app_clear) | (val << sh_c)
+            q = jnp.where(do, appended, q)
+            i = jnp.where(do, i - 1, i) + 1
+            removes = removes + do
+        s0, s1, s2, s3 = (q & 7, (q >> 4) & 7, (q >> 8) & 7,
+                          (q >> 12) & 7)
     sorted_mq = [s0, s1, s2, s3]
     mq_empty = mq_count == 0
     m_queue = jnp.where(
