@@ -85,11 +85,6 @@ def _is_walkable_t(board):
     return (board == C_PASSAGE) | ((board >= C_EXTRABOMB) & (board <= C_KICK))
 
 
-def _read_w(plane, w):
-    """sum over lanes of plane & w -- disjoint-field packed read."""
-    return jnp.sum(plane & w, axis=1, keepdims=True)
-
-
 _BYTE_AT = tuple(np.int32(np.uint32(0xFF << (8 * i))) for i in range(4))
 _NIBBLE_HI = tuple(np.int32(np.uint32(0xF0 << (8 * i))) for i in range(4))
 
@@ -364,50 +359,45 @@ def fsm_block(board, btimer, bstr, ac, abc, amb, adead, rand,
         v_pl, r_pl = swar_bfs(board, ac, valid)
 
     oh_ac = [lane == ac[:, i : i + 1] for i in range(4)]
-    w_ac = _mkw_bytes(oh_ac)
 
-    def read_bytes(plane, w):
-        red = _read_w(plane, w)
-        return (red >> (8 * lane4)) & _BYTE
-
-    def read_packed(vals, cells, bits):
-        """vals plane (< 2^bits) read at per-agent cells -> [block,4]."""
-        w = jnp.zeros((block, LANES), I32)
-        for i in range(4):
-            w = w + ((lane == cells[:, i : i + 1]).astype(I32) << (bits * i))
-        red = jnp.sum(vals * w, axis=1, keepdims=True)
-        return (red >> (bits * lane4)) & ((1 << bits) - 1)
-
-    def read_packed_multi(vals, cells_list, bits):
-        """``read_packed`` over several cell sets in ONE lane reduction.
-
-        len(cells_list) * 4 * bits must be <= 32; each (set, agent) slot
-        gets its own disjoint bit field, so the single weighted sum
-        replaces len(cells_list) cross-lane reductions (reductions cost
-        ~an order more than element-wise ops)."""
-        w = jnp.zeros((block, LANES), I32)
-        for s, cells in enumerate(cells_list):
-            for i in range(4):
-                w = w + (
-                    (lane == cells[:, i : i + 1]).astype(I32)
-                    << (bits * (4 * s + i))
-                )
-        red = jnp.sum(vals * w, axis=1, keepdims=True)
-        return [
-            (red >> (bits * 4 * s + bits * lane4)) & ((1 << bits) - 1)
-            for s in range(len(cells_list))
-        ]
-
-    # Per-agent scalars at own cell: danger (4 bits) + adjacent-wood bit.
+    # Per-agent scalars, r4 merged reads: the own-cell danger value (4-bit
+    # fields, bits [16,32)) and ALL 16 SafeDirections neighbor predicates
+    # (walkable & safe(2), 1-bit fields, bits [0,16)) share ONE lane
+    # reduction -- the neighbor probe only ever consumes the conjunction,
+    # never the separate bits.  wood-adjacency rides the later
+    # destination-predicate reduction (it is consumed late, in b4).
     wood = (board == C_WOOD) & valid
     wood_adj_pl = wood
     for dd in (1, 2, 3, 4):
         wood_adj_pl = wood_adj_pl | _push(wood, dd, False)
-    own = read_packed(
-        jnp.clip(dmap, 0, 15) + 16 * wood_adj_pl.astype(I32), ac, 5
-    )
-    danger_self = own & 15
-    wood_adj = (own >> 4) != 0
+
+    # Neighbor cells for SafeDirections, order RIGHT, LEFT, DOWN, UP
+    # (strategy.cpp:197-221).
+    n_off = ((1, 0, M_RIGHT), (-1, 0, M_LEFT), (0, 1, M_DOWN), (0, -1, M_UP))
+    inbs, ncells = [], []
+    for (dx, dy, mv) in n_off:
+        nx = acx + dx
+        ny = acy + dy
+        inb = (nx >= 0) & (nx < BOARD_SIZE) & (ny >= 0) & (ny < BOARD_SIZE)
+        inbs.append(inb)
+        ncells.append(jnp.where(inb, nx + BOARD_SIZE * ny, 127))
+
+    s1w = (safe1 & walk1).astype(I32)
+    w_nb = jnp.zeros((block, LANES), I32)
+    for s in range(4):
+        for i in range(4):
+            w_nb = w_nb + (
+                (lane == ncells[s][:, i : i + 1]).astype(I32) << (4 * s + i)
+            )
+    w_own = jnp.zeros((block, LANES), I32)
+    for i in range(4):
+        w_own = w_own + (oh_ac[i].astype(I32) << (16 + 4 * i))
+    red_on = jnp.sum(s1w * w_nb + jnp.clip(dmap, 0, 15) * w_own,
+                     axis=1, keepdims=True)
+    ok_s = [
+        inbs[s] & (((red_on >> (4 * s + lane4)) & 1) != 0) for s in range(4)
+    ]
+    danger_self = (red_on >> (16 + 4 * lane4)) & 15
     in_danger = danger_self > 0
 
     # --- path A: flee -----------------------------------------------------
@@ -422,13 +412,15 @@ def fsm_block(board, btimer, bstr, ac, abc, amb, adead, rand,
         rad = danger_self[:, i : i + 1]
         ox = acx[:, i : i + 1]
         oy = acy[:, i : i + 1]
-        window = (ly >= oy - rad) & (ly < rad) & (lx >= ox - rad) & (lx < rad)
         manh = jnp.abs(lx - ox) + jnp.abs(ly - oy)
-        # Reachable and not the agent's own cell (the toolkit's
-        # dist != 0 && dist != unreachable filter on the distance field).
+        # The reference's buggy window is (ly in [oy-rad, rad)) x (lx in
+        # [ox-rad, rad)) & manh <= rad; the two LOWER bounds are implied
+        # by manh <= rad (|ly-oy| <= manh), so only the buggy upper
+        # bounds remain.  Reachable and not the agent's own cell (the
+        # toolkit's dist != 0 && dist != unreachable filter).
         vf = (v_pl >> (8 * i)) & _BYTE
         mask = (
-            window & (manh <= rad) & (vf != 0)
+            (ly < rad) & (lx < rad) & (manh <= rad) & (vf != 0)
             & (lane != ac[:, i : i + 1]) & safe1 & valid
         )
         m4 = m4 | (mask.astype(I32) << i)
@@ -489,28 +481,29 @@ def fsm_block(board, btimer, bstr, ac, abc, amb, adead, rand,
         & (acy + edy >= 0) & (acy + edy < BOARD_SIZE)
     )
     edc = jnp.where(e_inb, ac + edx + BOARD_SIZE * edy, 127)
+    # Destination predicates + wood-adjacency in ONE reduction: safe(2) at
+    # the flee destination (1-bit fields [0,4)), safe(5) at the enemy-move
+    # destination (bits [8,12) -- 2-bit stride keeps the old field plan),
+    # and the own-cell wood-adjacent bit (bits [16,20)).
     safe5 = (dmap == 0) | (dmap >= 5)
     pred2 = (safe1 & walk1).astype(I32) + 2 * (safe5 & walk1).astype(I32)
-    dd_s, dd_e = read_packed_multi(pred2, [sdc_safe, edc], 2)
-    a_ok = in_danger & s_inb & ((dd_s & 1) != 0)
+    w_de = jnp.zeros((block, LANES), I32)
+    for i in range(4):
+        w_de = w_de + ((lane == sdc_safe[:, i : i + 1]).astype(I32) << (2 * i))
+        w_de = w_de + ((lane == edc[:, i : i + 1]).astype(I32) << (8 + 2 * i))
+    w_wd = jnp.zeros((block, LANES), I32)
+    for i in range(4):
+        w_wd = w_wd + (oh_ac[i].astype(I32) << (16 + i))
+    red_de = jnp.sum(pred2 * w_de + wood_adj_pl.astype(I32) * w_wd,
+                     axis=1, keepdims=True)
+    a_ok = in_danger & s_inb & (((red_de >> (2 * lane4)) & 1) != 0)
     a_else = in_danger & ~a_ok
-    b3_ok = e_inb & ((dd_e & 2) != 0)
+    b3_ok = e_inb & (((red_de >> (8 + 2 * lane4)) & 2) != 0)
+    wood_adj = ((red_de >> (16 + lane4)) & 1) != 0
 
     # --- moveQueue recompute: SafeDirections + SortDirections -------------
-    # Neighbor order RIGHT, LEFT, DOWN, UP (strategy.cpp:197-221).
-    n_off = ((1, 0, M_RIGHT), (-1, 0, M_LEFT), (0, 1, M_DOWN), (0, -1, M_UP))
-    inbs, ncells = [], []
-    for (dx, dy, mv) in n_off:
-        nx = acx + dx
-        ny = acy + dy
-        inb = (nx >= 0) & (nx < BOARD_SIZE) & (ny >= 0) & (ny < BOARD_SIZE)
-        inbs.append(inb)
-        ncells.append(jnp.where(inb, nx + BOARD_SIZE * ny, 127))
-    # All 16 (direction, agent) neighbor probes in ONE lane reduction.
-    nbs = read_packed_multi(
-        safe1.astype(I32) + 2 * walk1.astype(I32), ncells, 2
-    )
-    ok_s = [inb & (nb == 3) for inb, nb in zip(inbs, nbs)]
+    # (ok_s / inbs / ncells computed up top, merged into the own-cell
+    # danger reduction.)
     # Compress ok moves in order into the first `count` slots.
     rank_s = []
     acc = jnp.zeros((block, 4), I32)
