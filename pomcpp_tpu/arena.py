@@ -68,8 +68,10 @@ def play_games(names, games: int, steps: int, ppo_params=None,
 
     def net_params(name):
         """Slot params: ``ppo_params[name]`` for a dict roster, else the
-        single shared pytree."""
-        if isinstance(ppo_params, dict):
+        single shared pytree.  A flax params pytree is itself a dict, so
+        roster mode is detected by the slot NAME keying it (roster names
+        like ``ppo:gen1`` never collide with flax's ``params`` key)."""
+        if isinstance(ppo_params, dict) and name in ppo_params:
             return ppo_params[name]
         return ppo_params
 
