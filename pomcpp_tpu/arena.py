@@ -44,7 +44,8 @@ class GameResults(NamedTuple):
 
 def play_games(names, games: int, steps: int, ppo_params=None,
                seed: int = 0, team: bool = False,
-               search_kwargs=None, check_every: int = 32) -> GameResults:
+               search_kwargs=None, check_every: int = 32,
+               view_range: int = 4) -> GameResults:
     """Play ``games`` batched games with the 4-slot line-up ``names``.
 
     ``names[i]`` is one of random/harmless/lazy/simple/ppo/mcts/lookahead
@@ -101,7 +102,9 @@ def play_games(names, games: int, steps: int, ppo_params=None,
             from .learner.ppo import _MODEL
             from .models.actor_critic import obs_to_features
 
-            feats = obs_to_features(observe_ego(game, aid))
+            feats = obs_to_features(
+                observe_ego(game, aid, view_range=view_range), view_range
+            )
             logits, _ = _MODEL.apply(net_params(name), feats)
             return jax.random.categorical(key, logits).astype(I32), pstate
         return _STATELESS[name](key, game, aid), pstate

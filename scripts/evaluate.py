@@ -37,6 +37,9 @@ def main() -> None:
                    help="2v2 team mode ({0,2} vs {1,3}); reports team win rates")
     p.add_argument("--mcts-sims", type=int, default=24)
     p.add_argument("--mcts-depth", type=int, default=12)
+    p.add_argument("--view-range", type=int, default=4,
+                   help="observation radius for ppo slots (matches the "
+                        "checkpoint's training view; 10 = full board)")
     p.add_argument("--rotate", action="store_true",
                    help="play games/4 per seat rotation of the line-up and "
                         "aggregate per POLICY (seat position biases FFA "
@@ -55,10 +58,11 @@ def main() -> None:
     ppo_params = None
     kinds = [n.split(":")[0] for n in names]
     if "ppo" in kinds or "azmcts" in kinds:
-        from pomcpp_tpu.learner import ppo_init
+        from pomcpp_tpu.learner import PPOConfig, ppo_init
         from pomcpp_tpu.utils import restore_checkpoint
 
-        ts0 = ppo_init(jax.random.PRNGKey(0))
+        ts0 = ppo_init(jax.random.PRNGKey(0),
+                       PPOConfig(view_range=args.view_range))
         if "=" in args.ckpt:
             # Named checkpoints (--ckpt gen1=PATH,gen2=PATH) for multi-net
             # line-ups like ppo:gen2,ppo:gen1,... (arena dict mode).
@@ -107,7 +111,7 @@ def main() -> None:
         res = play_games(
             list(lineup), games=games_per, steps=args.steps,
             ppo_params=ppo_params, seed=args.seed + ri, team=args.team,
-            search_kwargs=search_kwargs,
+            search_kwargs=search_kwargs, view_range=args.view_range,
         )
         max_steps = max(max_steps, res.steps)
         total += games_per

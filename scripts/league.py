@@ -37,6 +37,9 @@ def main() -> None:
     p.add_argument("--ckpt", type=str, default="")
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--cpu", action="store_true")
+    p.add_argument("--all4", action="store_true",
+                   help="four distinct roster members per game instead of "
+                        "2+2 pair line-ups (avoids two-net stalemates)")
     args = p.parse_args()
     if args.cpu:
         jax.config.update("jax_platforms", "cpu")
@@ -65,11 +68,19 @@ def main() -> None:
 
     league = League(roster)
     # Balanced 2+2 line-ups over all roster pairs, alternating seats.
+    # --all4 instead seats four DISTINCT roster members per game (random
+    # seat permutations): with >= 2 trained nets in a 2+2 line-up both
+    # survivors dodge to the step cap and no game decides (the FFA
+    # stalemate equilibrium, docs/TRAINING.md); mixed 4-policy games keep
+    # enough chaos that Elo gets decided games to score.
     pairs = list(itertools.combinations(roster, 2)) or [(roster[0],) * 2]
     rng = random.Random(args.seed)
     for rd in range(args.rounds):
-        a, b = pairs[rd % len(pairs)]
-        lineup = [a, b, a, b] if rd % 2 == 0 else [b, a, b, a]
+        if args.all4 and len(roster) >= 4:
+            lineup = rng.sample(roster, 4)
+        else:
+            a, b = pairs[rd % len(pairs)]
+            lineup = [a, b, a, b] if rd % 2 == 0 else [b, a, b, a]
         res = play_games(
             lineup, args.games, args.steps, ppo_params=ppo_params,
             seed=args.seed + 1000 * rd + rng.randint(0, 999),
