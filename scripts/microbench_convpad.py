@@ -79,8 +79,8 @@ def main():
         ms_f = t(f"fwd  C={c_in:3d} ch={ch:3d}", jax.jit(fwd), x, w1, w2, wd)
         g = jax.jit(jax.grad(loss))
         ms_g = t(f"grad C={c_in:3d} ch={ch:3d}", g, (w1, w2, wd), x)
-        print(f"     eff fwd {flops_fwd / ms_f / 1e9:.1f} TFLOP/s, "
-              f"fwd+bwd {3 * flops_fwd / ms_g / 1e9:.1f} TFLOP/s "
+        print(f"     eff fwd {flops_fwd / ms_f / 1e12:.1f} TFLOP/s, "
+              f"fwd+bwd {3 * flops_fwd / ms_g / 1e12:.1f} TFLOP/s "
               f"(v5e peak ~197 bf16)", flush=True)
 
 
