@@ -15,6 +15,43 @@ def test_play_games_reports_outcomes():
             assert 0 <= res.winners[g] < 4
 
 
+def test_play_games_multi_net_dict_roster():
+    """Dict params mode (generation line-ups): each ppo:<name> slot loads
+    its own params, and two different nets actually act differently."""
+    import jax
+
+    from pomcpp_tpu.learner import ppo_init
+
+    pa = ppo_init(jax.random.PRNGKey(1)).params
+    pb = ppo_init(jax.random.PRNGKey(2)).params
+    res = play_games(
+        ["ppo:a", "ppo:b", "random", "random"], games=3, steps=30,
+        seed=5, ppo_params={"ppo:a": pa, "ppo:b": pb},
+    )
+    assert res.winners.shape == (3,)
+    # Single-pytree mode still works for plain "ppo" slots (a flax params
+    # dict must NOT be mistaken for a roster dict).
+    res2 = play_games(
+        ["ppo", "random", "random", "random"], games=2, steps=20,
+        seed=5, ppo_params=pa,
+    )
+    assert res2.winners.shape == (2,)
+
+
+def test_play_games_view_range_full_board():
+    """A view_range-10 net (21x21 crop) plays through the arena."""
+    import jax
+
+    from pomcpp_tpu.learner import PPOConfig, ppo_init
+
+    p10 = ppo_init(jax.random.PRNGKey(3), PPOConfig(view_range=10)).params
+    res = play_games(
+        ["ppo", "random", "random", "random"], games=2, steps=20,
+        seed=7, ppo_params=p10, view_range=10,
+    )
+    assert res.winners.shape == (2,)
+
+
 def test_league_elo_updates():
     lg = League(["a", "b", "c", "d"], k=32.0)
     # Agent slot 0 ("a") wins both games; b/c/d share draws among them.
