@@ -48,7 +48,15 @@ from ..core.constants import (
     NUM_CELLS,
 )
 from ..core.state import I32
-from .pallas_step import LANES, _SKIP, _is_agent, _lane_iota, _push
+from .pallas_step import (
+    LANES,
+    _SKIP,
+    _is_agent,
+    _lane_iota,
+    _push,
+    _push_h,
+    _push_masks,
+)
 
 # SWAR constants (int32 bit patterns).
 _BYTE = 0xFF
@@ -113,6 +121,7 @@ def danger_map_tile(btimer, bstr, valid):
     t0 = jnp.where(has_bomb, btimer, 0)
     s0 = jnp.where(has_bomb, bstr, 0)
     max_s = jnp.max(s0)
+    pm = _push_masks(btimer.shape[0])
 
     def body(carry):
         t1, s1, t2, s2, t3, s3, t4, s4, danger, k = carry
@@ -120,8 +129,8 @@ def danger_map_tile(btimer, bstr, valid):
         for d, (t_sh, s_sh) in zip(
             (1, 2, 3, 4), ((t1, s1), (t2, s2), (t3, s3), (t4, s4))
         ):
-            t_sh = _push(t_sh, d, 0)
-            s_sh = _push(s_sh, d, 0)
+            t_sh = _push_h(t_sh, pm, d)
+            s_sh = _push_h(s_sh, pm, d)
             cover = (t_sh > 0) & (s_sh >= k)
             danger = jnp.minimum(danger, jnp.where(cover, t_sh, _BIGD))
             outs += [t_sh, s_sh]
@@ -205,10 +214,11 @@ def swar_bfs(board, ac, valid):
     # Per-direction invariants for src-adjacent cells (their root is the
     # move that steps off the source): keep cand's visited bit, override
     # the rank bits with this direction's rank.
+    pmQ = _push_masks(Q)
     nrs = {}
     sav = {}
     for rank, mv in enumerate(_PRIORITY):
-        s = _push(src_p, mv, 0)            # vis bits of src-adjacent cells
+        s = _push_h(src_p, pmQ, mv)        # vis bits of src-adjacent cells
         samm = (s << 3) - s                # expand to full 0b111 fields
         nrs[mv] = ~(samm & rank_m)
         sav[mv] = samm & ((rank << 1) * vis_m)
@@ -237,7 +247,7 @@ def swar_bfs(board, ac, valid):
         # (agents block paths but are BFS targets).
         exp = (c & walk_p) | src_p
         for mv in _PRIORITY:
-            cand = _push(exp, mv, 0)       # parent's vis bit + rank bits
+            cand = _push_h(exp, pmQ, mv)   # parent's vis bit + rank bits
             new = (cand & ~c) & vm_ent     # vis bits of first visits
             mm = (new << 3) - new          # full 0b111 field masks
             c = c | (((cand & nrs[mv]) | sav[mv]) & mm)

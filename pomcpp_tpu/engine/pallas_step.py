@@ -118,6 +118,29 @@ def _pull(plane, d: int, fill, dist: int = 1):
     return _push(plane, opp, fill, dist)
 
 
+def _push_masks(rows: int):
+    """Hoisted dist-1 push masks: Mosaic does NOT CSE the per-call
+    iota/mod/compare chain inside `_push` (measured ~12 ns/push,
+    scripts/microbench_patterns.py push vs push_hoist), so hot loops
+    compute these once and use `_push_h`.  Keyed by direction code."""
+    lane = jax.lax.broadcasted_iota(jnp.int32, (rows, LANES), 1)
+    x = lane % BOARD_SIZE
+    y = lane // BOARD_SIZE
+    inb = lane < NUM_CELLS
+    return {
+        1: ((-BOARD_SIZE) % LANES, (y + 1 < BOARD_SIZE) & inb),
+        2: (BOARD_SIZE % LANES, (y >= 1) & inb),
+        3: ((-1) % LANES, (x + 1 < BOARD_SIZE) & inb),
+        4: (1, (x >= 1) & inb),
+    }
+
+
+def _push_h(plane, masks, d: int, fill=0):
+    """`_push(plane, d, fill)` with the masks precomputed (i32 planes)."""
+    shift, ok = masks[d]
+    return jnp.where(ok, pltpu.roll(plane, shift, 1), fill)
+
+
 def _dest_val(plane, dir_plane, fill):
     # Select over *stored* bool operands hits Mosaic's unsupported i8->i1
     # truncation; route bools through i32.
@@ -163,7 +186,7 @@ def _flag_item(pwp):
     )
 
 
-def _ray_reach(board, origin_allowance):
+def _ray_reach(board, origin_allowance, pm):
     """Ray propagation with early exit: iterate one cell per round in all
     four directions until every ray is exhausted.  Typical blast radius is
     1-2, so this runs ~2 cheap rounds instead of a fixed log-depth doubling
@@ -182,7 +205,7 @@ def _ray_reach(board, origin_allowance):
     def one_round(e1, e2, e3, e4, burn):
         outs = []
         for d, e in ((1, e1), (2, e2), (3, e3), (4, e4)):
-            inc = _push(e, d, _NEG) - 1
+            inc = _push_h(e, pm, d, _NEG) - 1
             entered = (inc >= 0) & ~rigid
             burn = jnp.where(entered, 1, burn)
             outs.append(jnp.where(entered & ~absorb, inc, neg))
@@ -233,6 +256,7 @@ def _step_block(board, hidden, ftimer, bp, ax, ay, abc, amb, ast, akick,
     """
     block = board.shape[0]
     valid = _valid_mask(block)
+    pm = _push_masks(block)  # hoisted dist-1 push masks (Mosaic won't CSE)
 
     # ---- Phase 0: flames --------------------------------------------------
     ftimer = jnp.maximum(ftimer - 1, 0)
@@ -643,7 +667,8 @@ def _step_block(board, hidden, ftimer, bp, ax, ay, abc, amb, ast, akick,
             )
         s_cell = jnp.where(live != 0, live_strength, (bp >> 4) & 63)
 
-        arriving = _ray_reach(board, jnp.where(explode != 0, s_cell, _NEG))
+        arriving = _ray_reach(board, jnp.where(explode != 0, s_cell, _NEG),
+                              pm)
         burn = (explode != 0) | ((arriving >= 0) & (board != C_RIGID) & valid)
 
         was_wood = burn & (board == C_WOOD)
