@@ -26,7 +26,9 @@ import jax
 BASELINE_STEPS_PER_S = 5_863_320.0
 BATCH = 16384
 CHUNK = 64  # steps per device call
-ROUNDS = 2
+ROUNDS = 3  # best-of rounds; the first round is coldest (pipeline + board
+            # mix), and scripts/bench_chunk.py's 3-round protocol is the
+            # one the ledger numbers come from
 
 # Persistent compilation cache: the driver re-runs this script every round.
 jax.config.update("jax_compilation_cache_dir", "/root/repo/build/jax_cache")
@@ -190,16 +192,24 @@ def _ref_same_host() -> dict:
     out = {}
     for mode, key in (("harmless", "ref_same_host_harmless_steps_per_s"),
                       ("simple", "ref_same_host_simple_steps_per_s")):
-        try:
-            r = subprocess.run(
-                [binp, mode, "4"], capture_output=True, text=True,
-                timeout=120, check=True,
-            )
-            m = re.search(r"steps_per_s=(\d+)", r.stdout)
-            if m:
-                out[key] = int(m.group(1))
-        except Exception:
-            pass
+        # Best of 3: the 4-thread join-barrier protocol is wildly bimodal
+        # on this shared-vCPU host (measured 2.4M vs 12.2M back-to-back on
+        # an idle box) -- give the reference its best run so our ratios
+        # stay conservative.
+        best = 0
+        for _ in range(3):
+            try:
+                r = subprocess.run(
+                    [binp, mode, "4"], capture_output=True, text=True,
+                    timeout=120, check=True,
+                )
+                m = re.search(r"steps_per_s=(\d+)", r.stdout)
+                if m:
+                    best = max(best, int(m.group(1)))
+            except Exception:
+                pass
+        if best:
+            out[key] = best
     return out
 
 

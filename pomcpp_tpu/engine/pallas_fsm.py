@@ -145,8 +145,16 @@ def danger_map_tile(btimer, bstr, valid):
     return jnp.where(danger == _BIGD, 0, danger)
 
 
-def swar_bfs(board, ac, valid):
+def swar_bfs(board, ac, valid, alive=None):
     """4-agent BFS -> (V, R): byte-packed visited masks and root ranks.
+
+    ``alive`` ([block,4] bool) prunes DEAD agents' sources (r4): waves are
+    per-agent-isolated bit fields, a dead agent's moves are masked before
+    use/recording, and its FSM state is never consulted again before the
+    board resets -- so skipping its wave changes no observable move while
+    letting the block-max convergence loop stop at the LIVE waves' extent
+    (a dead agent's stale source on a reverted-to-passage cell otherwise
+    expands a full wave of its own).
 
     V byte i: 0xFF iff the cell is reached from agent i (the SOURCE cell
     itself included).  R byte i: root rank (index into _RANK_TO_MOVE) of
@@ -180,6 +188,8 @@ def swar_bfs(board, ac, valid):
     enterable = walk | (_is_agent(board) & valid)
 
     oh_src = [lane == ac[:, i : i + 1] for i in range(4)]
+    if alive is not None:
+        oh_src = [oh_src[i] & alive[:, i : i + 1] for i in range(4)]
     src3 = jnp.zeros((block, LANES), I32)
     for i in range(4):
         src3 = src3 | (oh_src[i].astype(I32) << (3 * i))
@@ -366,7 +376,7 @@ def fsm_block(board, btimer, bstr, ac, abc, amb, adead, rand,
         v_pl = jnp.zeros((block, LANES), I32)  # nothing visited
         r_pl = jnp.zeros((block, LANES), I32)
     else:
-        v_pl, r_pl = swar_bfs(board, ac, valid)
+        v_pl, r_pl = swar_bfs(board, ac, valid, alive)
 
     oh_ac = [lane == ac[:, i : i + 1] for i in range(4)]
 
