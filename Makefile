@@ -1,6 +1,6 @@
 # Convenience targets mirroring the reference's build/run scripts
 # (Makefile + run.sh/test.sh/performance.sh/live-test.sh).
-.PHONY: test parity perf demo live oracle train clean
+.PHONY: test parity perf demo live oracle train league clean
 
 test:            ## conformance + unit suites (CPU, 8 virtual devices)
 	python -m pytest tests/ -q
@@ -22,6 +22,12 @@ oracle:          ## build the C++ parity oracle from /root/reference
 
 train:           ## short self-play PPO run
 	python scripts/train_ppo.py --batch 128 --iters 10
+
+league:          ## Elo ladder over scripted + trained generations (CPU)
+	python scripts/league.py --cpu --all4 \
+	  --roster simple,random,ppo:gen0,ppo:gen1 \
+	  --ckpt gen0=artifacts/ppo_vs_simple,gen1=artifacts/ppo_randseat \
+	  --rounds 16 --games 32 --steps 800
 
 clean:
 	rm -rf build/oracle_dump build/jax_cache __pycache__

@@ -189,15 +189,18 @@ def enum2_pair(dump: dict, agent_a: int, agent_b: int):
     return dumps[0], dumps[1:]
 
 
-def enum3_trio(dump: dict, agent_a: int, agent_b: int, agent_c: int):
-    """Run the oracle's 2-step 125x125 pruned-alphabet sweep over THREE
-    agents on an injected state (moves 0..4: IDLE + directions; bombs come
-    pre-planted).  Returns ``(echoed_base, [15625 dumps])``; sweep index
-    ``code`` applies step-1 moves ``(c1%5, c1//5%5, c1//25)`` with
-    ``c1 = code % 125`` and step-2 moves likewise from ``code // 125`` to
+def enum3_trio(dump: dict, agent_a: int, agent_b: int, agent_c: int,
+               n_moves: int = 5):
+    """Run the oracle's 2-step (n_moves^3)^2 pruned-alphabet sweep over
+    THREE agents on an injected state (``n_moves=5``: IDLE + directions,
+    bombs pre-planted; ``n_moves=6`` adds BOMB for plant-interacting
+    chains).  Returns ``(echoed_base, [n^6 dumps])``; sweep index ``code``
+    applies step-1 moves ``(c1%n, c1//n%n, c1//n^2)`` with
+    ``c1 = code % n^3`` and step-2 moves likewise from ``code // n^3`` to
     ``(agent_a, agent_b, agent_c)`` (the fourth agent IDLE)."""
     out = subprocess.run(
-        [ORACLE_BIN, "loadenum3", str(agent_a), str(agent_b), str(agent_c)],
+        [ORACLE_BIN, "loadenum3", str(agent_a), str(agent_b), str(agent_c),
+         str(n_moves)],
         input=dump_to_text(dump),
         capture_output=True,
         text=True,
@@ -205,7 +208,7 @@ def enum3_trio(dump: dict, agent_a: int, agent_b: int, agent_c: int):
     )
     assert out.returncode == 0, out.stderr
     dumps = [json.loads(l) for l in out.stdout.splitlines() if l.strip()]
-    assert len(dumps) == 15626, len(dumps)
+    assert len(dumps) == n_moves ** 6 + 1, len(dumps)
     return dumps[0], dumps[1:]
 
 

@@ -79,48 +79,64 @@ def _scenarios():
     return out
 
 
-def _sweep_moves():
-    """moves[step t][code] -> i32[15625, 4] matching the oracle's order."""
-    code = np.arange(125 * 125)
-    c1, c2 = code % 125, code // 125
-    mv = np.zeros((2, 125 * 125, 4), np.int64)
-    mv[0, :, A], mv[0, :, B], mv[0, :, C] = c1 % 5, c1 // 5 % 5, c1 // 25
-    mv[1, :, A], mv[1, :, B], mv[1, :, C] = c2 % 5, c2 // 5 % 5, c2 // 25
+def _sweep_moves(n: int = 5):
+    """moves[step t][code] -> i32[n^6, 4] matching the oracle's order."""
+    n3 = n * n * n
+    code = np.arange(n3 * n3)
+    c1, c2 = code % n3, code // n3
+    mv = np.zeros((2, n3 * n3, 4), np.int64)
+    mv[0, :, A], mv[0, :, B], mv[0, :, C] = c1 % n, c1 // n % n, c1 // n**2
+    mv[1, :, A], mv[1, :, B], mv[1, :, C] = c2 % n, c2 // n % n, c2 // n**2
     return jnp.asarray(mv, jnp.int32)
 
 
 _JSTEP2 = jax.jit(jax.vmap(lambda s, m1, m2: step(step(s, m1), m2)))
 
 
-@pytest.mark.parametrize("name", list(_scenarios()))
-def test_exhaustive_three_agent_parity(name):
-    s = _scenarios()[name]
-    base_dump, dumps = orc.enum3_trio(orc.state_to_dump(s), A, B, C)
+def _run_sweep(name, s, n_moves):
+    base_dump, dumps = orc.enum3_trio(
+        orc.state_to_dump(s), A, B, C, n_moves=n_moves
+    )
 
     d = orc.diff_dumps(base_dump, orc.state_to_dump(s))
     assert not d, "state injection diverged: " + "; ".join(d[:5])
 
-    mv = _sweep_moves()
+    total = n_moves ** 6
+    n3 = n_moves ** 3
+    mv = _sweep_moves(n_moves)
     batched = jax.tree.map(
-        lambda x: jnp.broadcast_to(x, (125 * 125,) + x.shape), s
+        lambda x: jnp.broadcast_to(x, (total,) + x.shape), s
     )
     out = _JSTEP2(batched, mv[0], mv[1])
     host = jax.tree.map(np.asarray, out)
 
     bad = []
-    for c in range(125 * 125):
+    for c in range(total):
         one = jax.tree.map(lambda x: x[c], host)
         diff = orc.diff_dumps(dumps[c], orc.state_to_dump(one))
         if diff:
-            c1, c2 = c % 125, c // 125
+            c1, c2 = c % n3, c // n3
+            n = n_moves
             bad.append((
-                (c1 % 5, c1 // 5 % 5, c1 // 25),
-                (c2 % 5, c2 // 5 % 5, c2 // 25),
+                (c1 % n, c1 // n % n, c1 // n**2),
+                (c2 % n, c2 // n % n, c2 // n**2),
                 diff[:3],
             ))
             if len(bad) >= 5:
                 break
     assert not bad, (
-        f"{name}: >= {len(bad)} of 15625 three-agent sequences diverge; "
+        f"{name}: >= {len(bad)} of {total} three-agent sequences diverge; "
         f"first: {bad[:3]}"
     )
+
+
+@pytest.mark.parametrize("name", list(_scenarios()))
+def test_exhaustive_three_agent_parity(name):
+    _run_sweep(name, _scenarios()[name], 5)
+
+
+def test_exhaustive_three_agent_with_bombs():
+    """Full 6-move alphabet (BOMB included) on the kick train: 6^3 x 6^3 =
+    46656 sequences exhaust plant-interacting multi-agent chains (a plant
+    under a reverting agent, plant + kick in one step, ...)."""
+    _run_sweep("train_kick+bombs", _scenarios()["train_kick"], 6)

@@ -170,6 +170,9 @@ int main(int argc, char** argv)
         int aa = (int)seed;           // argv[2] reused as agent id a
         int ab = std::atoi(argv[3]);  // agent id b
         int ac3 = trio ? std::atoi(argv[4]) : -1;
+        // optional argv[5]: per-agent alphabet size for loadenum3 (5 =
+        // IDLE+directions; 6 adds BOMB for plant-interacting chains).
+        int nmv = (trio && argc > 5) ? std::atoi(argv[5]) : 5;
         auto base = std::make_unique<State>();
         for (int y = 0; y < BOARD_SIZE; y++)
             for (int x = 0; x < BOARD_SIZE; x++)
@@ -214,16 +217,17 @@ int main(int argc, char** argv)
         Move m[AGENT_COUNT];
         if (trio)
         {
-            for (int code = 0; code < 125 * 125; code++)
+            int n3 = nmv * nmv * nmv;
+            for (int code = 0; code < n3 * n3; code++)
             {
                 State s = *base;  // POD copy
-                int c1 = code % 125, c2 = code / 125;
+                int c1 = code % n3, c2 = code / n3;
                 for (int i = 0; i < AGENT_COUNT; i++) m[i] = Move::IDLE;
-                m[aa] = (Move)(c1 % 5); m[ab] = (Move)(c1 / 5 % 5);
-                m[ac3] = (Move)(c1 / 25);
+                m[aa] = (Move)(c1 % nmv); m[ab] = (Move)(c1 / nmv % nmv);
+                m[ac3] = (Move)(c1 / (nmv * nmv));
                 Step(&s, m);
-                m[aa] = (Move)(c2 % 5); m[ab] = (Move)(c2 / 5 % 5);
-                m[ac3] = (Move)(c2 / 25);
+                m[aa] = (Move)(c2 % nmv); m[ab] = (Move)(c2 / nmv % nmv);
+                m[ac3] = (Move)(c2 / (nmv * nmv));
                 Step(&s, m);
                 dumpState(s);
             }
