@@ -70,10 +70,19 @@ def play_games(names, games: int, steps: int, ppo_params=None,
     def net_params(name):
         """Slot params: ``ppo_params[name]`` for a dict roster, else the
         single shared pytree.  A flax params pytree is itself a dict, so
-        roster mode is detected by the slot NAME keying it (roster names
-        like ``ppo:gen1`` never collide with flax's ``params`` key)."""
-        if isinstance(ppo_params, dict) and name in ppo_params:
-            return ppo_params[name]
+        roster mode is detected by ROSTER-SHAPED KEYS (containing ':',
+        which flax's ``params`` key never does); in roster mode an
+        unknown net slot name is a hard KeyError rather than a fall-
+        through to the whole dict (which would surface as a cryptic flax
+        apply shape error, ADVICE r4)."""
+        if isinstance(ppo_params, dict):
+            if name in ppo_params:
+                return ppo_params[name]
+            if any(":" in k for k in ppo_params):
+                raise KeyError(
+                    f"net slot {name!r} not in roster params "
+                    f"{sorted(ppo_params)}"
+                )
         return ppo_params
 
     def act_one(key, game, aid, pstate, name):
@@ -89,7 +98,7 @@ def play_games(names, games: int, steps: int, ppo_params=None,
 
                 mv, _, _ = mcts_moves_net(
                     gb, aid, key, _MODEL.apply, net_params(name),
-                    **(search_kwargs or {}),
+                    view_range=view_range, **(search_kwargs or {}),
                 )
             elif kind == "mcts":
                 mv, _, _ = mcts_moves(gb, aid, key, **(search_kwargs or {}))

@@ -675,8 +675,15 @@ def _step_block(board, hidden, ftimer, bp, ax, ay, abc, amb, ast, akick,
         kill_cell = burn & _is_agent(board)
         # ONE packed reduction: agent-kill bits (bits [20,24) -- an agent
         # occupies at most one cell) and per-owner refund counts (5-bit
-        # fields, bits [0,20) -- an owner has few bombs, well inside the
-        # field) share a single lane-sum.
+        # fields, bits [0,20)) share a single lane-sum.  INVARIANT: owner
+        # 3's refund field [15,20) sits directly below agent 0's kill bit,
+        # so >=32 bombs of ONE owner detonating in ONE chain round would
+        # carry into the kill bits.  That is unreachable: an owner's live
+        # bombs are bounded by max ammo (MAX_POWERUPS_PER_AGENT-class
+        # pickups over a 121-cell board keep it far under 32; the
+        # reference's own bomb queue caps at MAX_BOMBS=121 TOTAL, and per-
+        # owner ammo in real play stays single-digit).  If a variant ever
+        # lifts ammo >=32, split the kill bits into their own reduction.
         lane4_ = jax.lax.broadcasted_iota(I32, (block, 4), 1)
         red = jnp.sum(
             jnp.where(kill_cell, 1 << (20 + board - C_AGENT0), 0)

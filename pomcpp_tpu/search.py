@@ -261,7 +261,7 @@ def mcts_moves(cs_batch: CellState, agent_id, key, n_sim: int = 24,
 
 def mcts_moves_net(cs_batch: CellState, agent_id, key, apply_fn, params,
                    n_sim: int = 32, max_tree_depth: int = 8,
-                   c_puct: float = 1.5):
+                   c_puct: float = 1.5, view_range: int | None = None):
     """AlphaZero-style PUCT search guided by the actor-critic net.
 
     Same open-loop array tree as ``mcts_moves`` (shared ``_tree_search``
@@ -277,16 +277,20 @@ def mcts_moves_net(cs_batch: CellState, agent_id, key, apply_fn, params,
     passed in so search stays import-independent of the learner); it maps
     ``(params, feats[H,W,C]) -> (logits[6], value)``.  Not jitted here --
     wrap the call site (apply_fn is not a valid static jit argument).
+    ``view_range`` must match the checkpoint's training view (None = the
+    default radius); a mismatched radius fails at Dense apply time.
     Returns ``(moves i32[B], root_visits i32[B,6], root_q f32[B,6])``.
     """
-    from .env.observation import observe_ego
+    from .env.observation import DEFAULT_VIEW_RANGE, observe_ego
     from .models.actor_critic import obs_to_features
 
+    if view_range is None:
+        view_range = DEFAULT_VIEW_RANGE
     b = cs_batch.board.shape[0]
 
     def net_eval(cs):
         logits, value = apply_fn(params, obs_to_features(
-            observe_ego(cs, agent_id)
+            observe_ego(cs, agent_id, view_range=view_range), view_range
         ))
         # Terminal states score exactly; the net only guesses the rest.
         dead = cs.agent_dead[agent_id]

@@ -40,6 +40,9 @@ def main() -> None:
     p.add_argument("--all4", action="store_true",
                    help="four distinct roster members per game instead of "
                         "2+2 pair line-ups (avoids two-net stalemates)")
+    p.add_argument("--view-range", type=int, default=4,
+                   help="observation radius for net slots (matches the "
+                        "checkpoints' training view; 10 = full board)")
     args = p.parse_args()
     if args.cpu:
         jax.config.update("jax_platforms", "cpu")
@@ -50,10 +53,11 @@ def main() -> None:
     net_names = [n for n in roster if n.split(":")[0] in ("ppo", "azmcts")]
     ppo_params = None
     if net_names:
-        from pomcpp_tpu.learner import ppo_init
+        from pomcpp_tpu.learner import PPOConfig, ppo_init
         from pomcpp_tpu.utils import restore_checkpoint
 
-        ts0 = ppo_init(jax.random.PRNGKey(0))
+        ts0 = ppo_init(jax.random.PRNGKey(0),
+                       PPOConfig(view_range=args.view_range))
         if "=" in args.ckpt:
             # Named checkpoints: gen1=PATH,gen2=PATH -> dict params keyed
             # by the full roster name (ppo:gen1, azmcts:gen2, ...).
@@ -84,6 +88,7 @@ def main() -> None:
         res = play_games(
             lineup, args.games, args.steps, ppo_params=ppo_params,
             seed=args.seed + 1000 * rd + rng.randint(0, 999),
+            view_range=args.view_range,
         )
         league.record(lineup, res)
         finished = int(res.done.sum())

@@ -118,36 +118,71 @@ def main() -> None:
 
         assert args.frozen_ckpt, "--opponent frozen needs --frozen-ckpt"
         frozen_params = _restore(args.frozen_ckpt, ts).params
-    if args.resume and args.ckpt_dir and os.path.exists(args.ckpt_dir):
-        ts = restore_checkpoint(args.ckpt_dir, ts)
-        print(f"resumed from {args.ckpt_dir} at update {int(ts.update_count)}")
 
     es = jax.vmap(
         lambda k: env_reset(k, engine="cellular",
                             randomize_positions=args.randomize_positions)
     )(jax.random.split(jax.random.PRNGKey(args.seed + 1), args.batch))
-    mesh = boards_mesh()
-    if args.batch % len(jax.devices()) == 0:
-        es = shard_env_batch(es, mesh)
-        print(f"boards mesh over {len(jax.devices())} device(s)")
 
     if args.opponent:
         from pomcpp_tpu.learner.ppo import opponent_state_init
 
         opp = opponent_state_init(args.batch, cfg)
-        if args.batch % len(jax.devices()) == 0:
+    else:
+        opp = None
+
+    # Resume restores the FULL training bundle (net/opt/key + env states +
+    # opponent FSM state + iteration index) so a killed-and-resumed run
+    # reproduces the straight-through run bit-for-bit
+    # (tests/test_resume_equivalence.py).  The weights-only checkpoint
+    # (the `ts` tree at ckpt_dir, what evaluate.py/league.py load) stays
+    # the artifact format; the bundle lives under <ckpt_dir>/resume.
+    start_it = 0
+    resume_dir = os.path.join(args.ckpt_dir, "resume") if args.ckpt_dir else ""
+    if args.resume and args.ckpt_dir and os.path.exists(args.ckpt_dir):
+        if os.path.exists(resume_dir):
+            import numpy as np
+
+            bundle = restore_checkpoint(
+                resume_dir,
+                {"ts": ts, "es": es, "opp": opp, "it": np.zeros((), "int32")},
+            )
+            ts, es, opp = bundle["ts"], bundle["es"], bundle["opp"]
+            start_it = int(bundle["it"])
+            print(f"resumed full bundle from {resume_dir} at iter {start_it}")
+        else:
+            ts = restore_checkpoint(args.ckpt_dir, ts)
+            print(f"resumed weights from {args.ckpt_dir} "
+                  f"at update {int(ts.update_count)} (no env bundle)")
+
+    mesh = boards_mesh()
+    if args.batch % len(jax.devices()) == 0:
+        es = shard_env_batch(es, mesh)
+        if opp is not None:
             opp = shard_batch(opp, mesh)
+        print(f"boards mesh over {len(jax.devices())} device(s)")
+
+    if args.opponent:
         step = jax.jit(
             lambda ts, es, opp: ppo_train_step(
                 ts, es, cfg, opp, frozen_params=frozen_params
             )
         )
     else:
-        opp = None
         step = jax.jit(lambda ts, es: ppo_train_step(ts, es, cfg))
 
+    def save_all(it):
+        import numpy as np
+
+        save_checkpoint(args.ckpt_dir, ts)
+        save_checkpoint(
+            resume_dir,
+            {"ts": ts, "es": es, "opp": opp,
+             "it": np.asarray(it + 1, "int32")},
+        )
+
     steps_per_iter = args.batch * cfg.rollout_len
-    for it in range(args.iters):
+    for it in range(start_it, args.iters):
         t0 = time.perf_counter()
         if args.opponent:
             ts, es, metrics, opp = step(ts, es, opp)
@@ -165,11 +200,11 @@ def main() -> None:
         )
         print(json.dumps(m))
         if args.ckpt_dir and (it + 1) % args.ckpt_every == 0:
-            save_checkpoint(args.ckpt_dir, ts)
+            save_all(it)
             print(f"checkpointed -> {args.ckpt_dir}")
 
     if args.ckpt_dir:
-        save_checkpoint(args.ckpt_dir, ts)
+        save_all(args.iters - 1)
 
 
 if __name__ == "__main__":
