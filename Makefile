@@ -1,12 +1,15 @@
 # Convenience targets mirroring the reference's build/run scripts
 # (Makefile + run.sh/test.sh/performance.sh/live-test.sh).
-.PHONY: test parity perf demo live oracle train league clean
+.PHONY: test parity soak perf demo live oracle train league clean
 
 test:            ## conformance + unit suites (CPU, 8 virtual devices)
 	python -m pytest tests/ -q
 
 parity:          ## C++ oracle parity suites only
 	python -m pytest tests/test_parity.py tests/test_simple_agent.py -q
+
+soak:            ## deep conformance soak (game-length x 100+ seeds; ~30-60 min)
+	python -m pytest tests/test_soak.py -m soak -q
 
 perf:            ## single-chip throughput benchmark (JSON line)
 	python bench.py

@@ -1,0 +1,151 @@
+#!/usr/bin/env python
+"""Measure how often the cellular production engine diverges from the exact
+conformance engine in real random play (VERDICT r4 item 3).
+
+Protocol: step both engines in lockstep over batches of full-length random
+games (the exact engine is the oracle — bit-parity with the compiled C++
+reference, tests/test_parity.py).  After every step, compare all CellState
+fields per board; each divergent board-step is classified against the four
+documented divergence classes (engine/cellular.py header; classifier shared
+with tests/test_cellular.py) and the cellular state is RESYNCED to the
+exact state so every subsequent comparison is conditioned on a synced
+pre-state (first-divergence semantics per step, no cascade double-count).
+
+Reports per-class counts and overall divergent-steps-per-live-board-step
+(ppm).  An UNCLASSIFIED divergence is a bug — the script exits non-zero.
+
+Usage:
+  python scripts/divergence_census.py --games 10000 --steps 800 \
+      [--batch 512] [--seed 0]
+
+Runs on CPU (the exact engine's jaxpr is TPU-hostile, CLAUDE.md).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import jax
+
+jax.config.update("jax_platforms", "cpu")
+
+import jax.numpy as jnp  # noqa: E402
+import numpy as np  # noqa: E402
+
+
+def main() -> None:
+    p = argparse.ArgumentParser()
+    p.add_argument("--games", type=int, default=10000)
+    p.add_argument("--steps", type=int, default=800)
+    p.add_argument("--batch", type=int, default=500)
+    p.add_argument("--seed", type=int, default=0)
+    args = p.parse_args()
+
+    from pomcpp_tpu.core.board_gen import init_state_np
+    from pomcpp_tpu.engine.cellular import CellState, cellular_step, from_state
+    from pomcpp_tpu.engine.step import step
+    from pomcpp_tpu.testing.divergence import divergence_classes
+
+    cmp_fields = [f for f in CellState._fields if f != "timestep"]
+
+    @jax.jit
+    def census_step(s, c, key):
+        """One lockstep batch step: exact + cellular + equality + resync."""
+        mv = jax.random.randint(key, s.agent_x.shape[:1] + (4,), 0, 6,
+                                dtype=jnp.int32)
+        s2 = jax.vmap(step)(s, mv)
+        e2 = jax.vmap(from_state)(s2)
+        c2 = jax.vmap(cellular_step)(c, mv)
+        eq = jnp.ones(mv.shape[0], bool)
+        for f in cmp_fields:
+            a, b = getattr(e2, f), getattr(c2, f)
+            d = (a != b).reshape(mv.shape[0], -1).any(axis=1) \
+                if a.ndim > 1 else (a != b)
+            eq = eq & ~d
+        # Resync diverged boards so later steps compare from synced state.
+        c_next = jax.tree.map(
+            lambda ce, ee: jnp.where(
+                eq.reshape((-1,) + (1,) * (ce.ndim - 1)), ce, ee
+            ),
+            c2, e2,
+        )
+        live = s.alive_count > 1
+        return s2, c_next, eq, live, mv
+
+    counts = {"1:stacked-plant": 0, "2:stale-plant-direction": 0,
+              "3:multi-bomb-chain": 0, "4:multi-bomb-pileup": 0}
+    multi = 0          # divergent steps with >1 candidate class
+    unclassified = []  # (batch, t, board)
+    total_live_steps = 0
+    total_div = 0
+    t_start = time.time()
+
+    n_batches = (args.games + args.batch - 1) // args.batch
+    for bi in range(n_batches):
+        b = min(args.batch, args.games - bi * args.batch)
+        seeds = [args.seed + bi * args.batch + g for g in range(b)]
+        states = [init_state_np(s) for s in seeds]
+        s = jax.tree.map(lambda *xs: jnp.stack(xs), *states)
+        # Half the games play with kicks enabled (both rule modes matter).
+        kick = jnp.asarray([(g % 2) == 1 for g in range(b)])
+        s = s._replace(agent_can_kick=jnp.broadcast_to(kick[:, None], (b, 4)))
+        c = jax.vmap(from_state)(s)
+        key = jax.random.PRNGKey(args.seed * 7919 + bi)
+
+        for t in range(args.steps):
+            key, k = jax.random.split(key)
+            s_pre = s
+            s, c, eq, live, mv = census_step(s, c, k)
+            neq = np.asarray(~eq & live)
+            total_live_steps += int(np.asarray(live).sum())
+            if neq.any():
+                idx = np.nonzero(neq)[0]
+                total_div += len(idx)
+                pre_cell = jax.vmap(from_state)(s_pre)
+                post_cell = jax.vmap(from_state)(s)
+                for i in idx:
+                    one_pre = jax.tree.map(lambda x: x[i], pre_cell)
+                    one_post = jax.tree.map(lambda x: x[i], post_cell)
+                    cl = divergence_classes(one_pre, np.asarray(mv)[i],
+                                            one_post)
+                    if not cl:
+                        unclassified.append((bi, t, int(i)))
+                    else:
+                        if len(cl) > 1:
+                            multi += 1
+                        for name in cl:
+                            counts[name] += 1
+            if not bool(np.asarray(live).any()):
+                break
+        done_games = bi * args.batch + b
+        ppm = 1e6 * total_div / max(total_live_steps, 1)
+        print(f"batch {bi + 1}/{n_batches}: games={done_games} "
+              f"live_steps={total_live_steps} div={total_div} "
+              f"({ppm:.1f} ppm)  [{time.time() - t_start:.0f}s]",
+              flush=True)
+
+    out = {
+        "games": args.games,
+        "steps_cap": args.steps,
+        "live_board_steps": total_live_steps,
+        "divergent_steps": total_div,
+        "divergence_ppm": round(1e6 * total_div / max(total_live_steps, 1), 2),
+        "class_counts": counts,
+        "multi_class_steps": multi,
+        "unclassified": len(unclassified),
+    }
+    print(json.dumps(out))
+    if unclassified:
+        print(f"UNCLASSIFIED divergences at (batch,t,board): "
+              f"{unclassified[:10]}", file=sys.stderr)
+        sys.exit(1)
+
+
+if __name__ == "__main__":
+    main()

@@ -208,46 +208,9 @@ def test_walk_into_flame_dies():
 # --- Random-trajectory match rate --------------------------------------------
 
 
-def _divergence_classes(pre: CellState, mv, post_exact: CellState) -> list[str]:
-    """Which documented divergence classes (cellular.py header, 1-4) could
-    explain a mismatch on this transition, from its *preconditions*."""
-    mv = np.asarray(mv)
-    classes = []
-    cells = np.asarray(pre.agent_x) + 11 * np.asarray(pre.agent_y)
-    alive = ~np.asarray(pre.agent_dead)
-    pre_bt = np.asarray(pre.bomb_timer)
-    post_bt = np.asarray(post_exact.bomb_timer)
-    can_plant = (
-        (mv == M_BOMB)
-        & alive
-        & (np.asarray(pre.agent_bomb_count) < np.asarray(pre.agent_max_bombs))
-    )
-    # 1: plant onto a cell already holding a bomb (reference stacks them).
-    if np.any(can_plant & (pre_bt[cells] > 0)):
-        classes.append("1:stacked-plant")
-    # 2: fresh plant in a recycled queue slot inherits a stale direction.
-    new_bomb = (post_bt > 0) & (pre_bt == 0)
-    if np.any(new_bomb & (np.asarray(post_exact.bomb_dir) != 0)):
-        classes.append("2:stale-plant-direction")
-    # 3: >=2 bombs exploded this step -> BFS-vs-DFS chain ordering.
-    if np.sum((pre_bt > 0) & (post_bt == 0)) >= 2:
-        classes.append("3:multi-bomb-chain")
-    # 4: >=2 bombs moving/kicked this step -> pileup ordering (cell vs queue).
-    pre_moving = np.asarray(pre.bomb_dir) != 0
-    dx = np.array([0, 0, 0, -1, 1])[np.clip(mv, 0, 4)] * (mv <= 4)
-    dy = np.array([0, -1, 1, 0, 0])[np.clip(mv, 0, 4)] * (mv <= 4)
-    tx = np.clip(np.asarray(pre.agent_x) + dx, 0, 10)
-    ty = np.clip(np.asarray(pre.agent_y) + dy, 0, 10)
-    kick_cand = (
-        alive
-        & np.asarray(pre.agent_can_kick)
-        & (mv >= 1)
-        & (mv <= 4)
-        & (pre_bt[tx + 11 * ty] > 0)
-    )
-    if np.sum(pre_moving) + np.sum(kick_cand) >= 2:
-        classes.append("4:multi-bomb-pileup")
-    return classes
+# Shared with scripts/divergence_census.py (which measures real-play
+# frequency per class); kept importable from the package.
+from pomcpp_tpu.testing.divergence import divergence_classes as _divergence_classes  # noqa: E402,E501
 
 
 @pytest.mark.parametrize("seed,kick", [(1, False), (2, True), (3, True), (0x1337, False)])

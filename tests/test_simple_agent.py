@@ -74,12 +74,10 @@ def test_no_bomb_when_at_capacity():
     assert int(mv) != M_BOMB
 
 
-@pytest.mark.skipif(
-    orc.ensure_oracle() is None, reason="reference oracle not buildable"
-)
-@pytest.mark.parametrize("seed", [0x1337, 0x13327, 1, 2, 3, 4, 5])
-def test_simple_agent_game_parity(seed):
-    steps = 80
+def run_simple_game_parity(seed, steps):
+    """Full-game SimpleAgent parity vs the oracle's "simple" mode: moves
+    AND post-step state diffed every step (shared with tests/test_soak.py,
+    which runs it at game length over many seeds)."""
     out = orc_run = __import__("subprocess").run(
         [orc.ORACLE_BIN, "simple", hex(seed), str(steps)],
         capture_output=True,
@@ -124,3 +122,12 @@ def test_simple_agent_game_parity(seed):
         s = jstep(s, jnp.asarray(moves, jnp.int32))
         d = orc.diff_dumps(state_dumps[t + 1], orc.state_to_dump(s))
         assert not d, f"seed {seed} step {t} state: " + "; ".join(d[:8])
+    return len(move_dumps)
+
+
+@pytest.mark.skipif(
+    orc.ensure_oracle() is None, reason="reference oracle not buildable"
+)
+@pytest.mark.parametrize("seed", [0x1337, 0x13327, 1, 2, 3, 4, 5])
+def test_simple_agent_game_parity(seed):
+    run_simple_game_parity(seed, steps=80)
