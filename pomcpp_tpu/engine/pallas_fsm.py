@@ -204,10 +204,8 @@ def swar_bfs(board, ac, valid, alive=None):
     halves = 2 if block % 2 == 0 else 1
     Q = block // halves
     vis_m = _VIS3
-    rank_m = _RANK3
     for h in range(1, halves):
         vis_m = vis_m | (_VIS3 << (12 * h))
-        rank_m = rank_m | (_RANK3 << (12 * h))
 
     def pk(x12):
         """[block,128] rows of <=12-bit values -> [Q,128] packed halves."""
@@ -221,17 +219,17 @@ def swar_bfs(board, ac, valid, alive=None):
     ent_p = pk(ent12)
     src_p = pk(src3)
 
-    # Per-direction invariants for src-adjacent cells (their root is the
-    # move that steps off the source): keep cand's visited bit, override
-    # the rank bits with this direction's rank.
+    # Per-direction source planes with the rank PRE-SEEDED in the source
+    # fields (r5): a cell's cand comes from exactly one parent per push
+    # direction, so seeding the src field with 0b001|rank<<1 makes the
+    # pushed cand carry the correct root rank for src-adjacent cells with
+    # NO in-loop override (the r4 nrs/sav masks cost 3 ops/direction/
+    # round).  Fields are 3 bits apart and 1+2*rank <= 7, so the constant
+    # multiply is carry-free (= per-field OR of vis|rank bits).
     pmQ = _push_masks(Q)
-    nrs = {}
-    sav = {}
+    srk = {}
     for rank, mv in enumerate(_PRIORITY):
-        s = _push_h(src_p, pmQ, mv)        # vis bits of src-adjacent cells
-        samm = (s << 3) - s                # expand to full 0b111 fields
-        nrs[mv] = ~(samm & rank_m)
-        sav[mv] = samm & ((rank << 1) * vis_m)
+        srk[mv] = src_p * (1 + 2 * rank)
 
     # Rounds are cheap (4 pushes + ~50 fused bitwise ops) but each
     # while_loop iteration carries a large fixed cost (scalar-loop
@@ -254,13 +252,14 @@ def swar_bfs(board, ac, valid, alive=None):
         # but `new` tests against the accumulating c -- an earlier
         # direction wins the round's ties, the toolkit's exact rule.
         # Sources expand even though their cells are not walkable
-        # (agents block paths but are BFS targets).
-        exp = (c & walk_p) | src_p
+        # (agents block paths but are BFS targets); their fields ride in
+        # srk[mv] with the rank pre-seeded.
+        base = c & walk_p
         for mv in _PRIORITY:
-            cand = _push_h(exp, pmQ, mv)   # parent's vis bit + rank bits
+            cand = _push_h(base | srk[mv], pmQ, mv)  # parent vis|rank
             new = (cand & ~c) & vm_ent     # vis bits of first visits
             mm = (new << 3) - new          # full 0b111 field masks
-            c = c | (((cand & nrs[mv]) | sav[mv]) & mm)
+            c = c | (cand & mm)
         return c
 
     def body(carry):
@@ -273,25 +272,39 @@ def swar_bfs(board, ac, valid, alive=None):
         # rounds (reductions cost ~an order more than element-wise ops).
         return c, jnp.any(c != c0).astype(I32), k + UNROLL
 
+    # Straight-line PREFIX (r5): the block terminator is the MAX round
+    # over 128 boards -- measured mean 27.0, and a block essentially never
+    # converges before ~20 (per-board p5 is ~11 and the block max is over
+    # 128 draws; scripts/bfs_round_histogram.py).  The wave is monotone,
+    # so post-convergence rounds are exact no-ops: running the first
+    # PREFIX rounds with NO while_loop machinery is always correct and
+    # skips ceil(PREFIX/UNROLL) body overheads (~650 ns each: scalar
+    # round trip + cross-lane any -- about half the measured BFS time at
+    # UNROLL=4).
+    PREFIX = int(_os.environ.get("FSM_BFS_PREFIX", "16"))
     # FSM_BFS_FIXED=N (profiling only): run exactly ceil(N/UNROLL)
     # bodies, no convergence check -- isolates per-round cost vs count.
     _fixed = int(_os.environ.get("FSM_BFS_FIXED", "0"))
     if _fixed:
+        PREFIX = 0
+    c = src_p
+    for _ in range(PREFIX):
+        c = one_round(c)
+    if _fixed:
         def cond(carry):
             return carry[2] < _fixed
     else:
-        # The convergence check is the real terminator (measured mean ~16
-        # rounds per board, ~27 per 128-board block; histogram in
-        # scripts/bfs_round_histogram.py).  The cap only exists as a
-        # compile-time bound and must cover the worst possible shortest
-        # path on the board (a serpentine corridor can reach ~120 cells),
-        # else far cells would silently read unreachable and diverge from
-        # cellular_toolkit.fill_reach_map's run-to-convergence loop.
+        # The convergence check is the real terminator.  The cap only
+        # exists as a compile-time bound and must cover the worst
+        # possible shortest path on the board (a serpentine corridor can
+        # reach ~120 cells), else far cells would silently read
+        # unreachable and diverge from cellular_toolkit.fill_reach_map's
+        # run-to-convergence loop.
         def cond(carry):
             return (carry[1] != 0) & (carry[2] < NUM_CELLS)
 
     c, _, _ = jax.lax.while_loop(
-        cond, body, (src_p, jnp.ones((), I32), jnp.zeros((), I32))
+        cond, body, (c, jnp.ones((), I32), jnp.asarray(PREFIX, I32))
     )
 
     # Unpack once to the byte-per-agent planes the FSM's packed readers

@@ -84,6 +84,7 @@ def sharded_chunk_rollout(
     mesh: Mesh, steps: int = 64, policy: str = "random", *,
     interpret: bool = False, record: bool = False, auto_reset: bool = True,
     inject: bool = False, inject_slots: tuple = (), prng_rand: bool = False,
+    inject_reset: bool = False,
 ) -> Callable:
     """Shard the fused Pallas chunk kernel (the production throughput path)
     over the ``boards`` mesh.
@@ -113,7 +114,7 @@ def sharded_chunk_rollout(
     pb = P(BOARDS_AXIS)
     pmv = P(None, BOARDS_AXIS)
 
-    def local(cs, seed, fsm_state, moves):
+    def local(cs, seed, fsm_state, moves, reset_boards):
         # Per-device PRNG decorrelation (odd multiplier; per-block
         # decorrelation via program_id happens inside the kernel).
         seed = (jnp.asarray(seed, jnp.int32)
@@ -125,9 +126,11 @@ def sharded_chunk_rollout(
             record=record, auto_reset=auto_reset,
             fsm_state=(fsm_state if simple else None),
             inject_slots=tuple(inject_slots), prng_rand=prng_rand,
+            reset_boards=(reset_boards if inject_reset else None),
         )
 
-    in_specs = (pb, P(), pb if simple else P(), pmv if inject else P())
+    in_specs = (pb, P(), pb if simple else P(), pmv if inject else P(),
+                (pb, pb) if inject_reset else P())
     if simple and record:
         out_specs = (pb, pmv, pmv, pb)
     elif simple:
@@ -143,7 +146,7 @@ def sharded_chunk_rollout(
     fn = jax.shard_map(local, mesh=mesh, in_specs=in_specs,
                        out_specs=out_specs, check_vma=False)
 
-    def run(cs, seed, fsm_state=(), moves=()):
-        return fn(cs, seed, fsm_state, moves)
+    def run(cs, seed, fsm_state=(), moves=(), reset_boards=()):
+        return fn(cs, seed, fsm_state, moves, reset_boards)
 
     return jax.jit(run, static_argnames=())

@@ -15,15 +15,19 @@ from __future__ import annotations
 
 import numpy as np
 
-from ..core.constants import M_BOMB
+from ..core.constants import M_BOMB, MAX_BOMBS
 
 
-def divergence_classes(pre, mv, post_exact) -> list[str]:
+def divergence_classes(pre, mv, post_exact, pre_exact=None) -> list[str]:
     """Which documented divergence classes (cellular.py header, 1-4) could
     explain a mismatch on this transition, from its *preconditions*.
 
     ``pre`` / ``post_exact`` are single-board ``CellState``s (the exact
     engine's pre/post states in plane form), ``mv`` the 4 moves.
+    ``pre_exact`` (optional) is the exact queue-encoded ``State`` pre-step:
+    it sharpens class 2 to cover stale-direction plants whose bomb slides
+    into a flame and EXPLODES the same step (no new bomb in the post state
+    for the plane-level test to see -- found by the r5 census).
     """
     mv = np.asarray(mv)
     classes = []
@@ -43,6 +47,23 @@ def divergence_classes(pre, mv, post_exact) -> list[str]:
     new_bomb = (post_bt > 0) & (pre_bt == 0)
     if np.any(new_bomb & (np.asarray(post_exact.bomb_dir) != 0)):
         classes.append("2:stale-plant-direction")
+    elif pre_exact is not None and np.any(can_plant):
+        # Queue-precise variant: the j-th plant this step lands in raw slot
+        # (head + count + j) % MAX_BOMBS (reference PlantBomb appends,
+        # bboard.cpp:125-146, recycling whatever direction the slot last
+        # held).  A stale dir there can make the fresh bomb slide -- and if
+        # it slides into a flame it explodes the SAME step, leaving no new
+        # bomb for the plane test above.
+        head = int(np.asarray(pre_exact.bomb_head))
+        count = int(np.asarray(pre_exact.bomb_count))
+        dirs = np.asarray(pre_exact.bombs.dir)
+        j = 0
+        for i in range(4):
+            if can_plant[i]:
+                if dirs[(head + count + j) % MAX_BOMBS] != 0:
+                    classes.append("2:stale-plant-direction")
+                    break
+                j += 1
     # 3: >=2 bombs exploded this step -> BFS-vs-DFS chain ordering.
     if np.sum((pre_bt > 0) & (post_bt == 0)) >= 2:
         classes.append("3:multi-bomb-chain")

@@ -5,14 +5,18 @@ conformance engine in real random play (VERDICT r4 item 3).
 Protocol: step both engines in lockstep over batches of full-length random
 games (the exact engine is the oracle — bit-parity with the compiled C++
 reference, tests/test_parity.py).  After every step, compare all CellState
-fields per board; each divergent board-step is classified against the four
-documented divergence classes (engine/cellular.py header; classifier shared
-with tests/test_cellular.py) and the cellular state is RESYNCED to the
-exact state so every subsequent comparison is conditioned on a synced
-pre-state (first-divergence semantics per step, no cascade double-count).
+fields per board; a board's FIRST divergent step is classified against the
+four documented divergence classes (engine/cellular.py header; classifier
+shared with tests/test_cellular.py) and the board is then frozen out of
+the census.  First-divergence semantics matter: a class-1 event (the
+reference stacks two bombs on one cell) leaves the exact state OUTSIDE the
+cellular representable space (one bomb per cell), so no resync can restore
+sync and every later step on that board re-diverges as a cascade artifact
+of the first event — counting them would double-charge class 1 and (worse)
+report the cascades as unclassified.
 
-Reports per-class counts and overall divergent-steps-per-live-board-step
-(ppm).  An UNCLASSIFIED divergence is a bug — the script exits non-zero.
+Reports per-class counts and first-divergences-per-synced-live-board-step
+(ppm).  An UNCLASSIFIED first divergence is a bug — exit non-zero.
 
 Usage:
   python scripts/divergence_census.py --games 10000 --steps 800 \
@@ -56,7 +60,7 @@ def main() -> None:
 
     @jax.jit
     def census_step(s, c, key):
-        """One lockstep batch step: exact + cellular + equality + resync."""
+        """One lockstep batch step: exact + cellular + per-board equality."""
         mv = jax.random.randint(key, s.agent_x.shape[:1] + (4,), 0, 6,
                                 dtype=jnp.int32)
         s2 = jax.vmap(step)(s, mv)
@@ -68,15 +72,8 @@ def main() -> None:
             d = (a != b).reshape(mv.shape[0], -1).any(axis=1) \
                 if a.ndim > 1 else (a != b)
             eq = eq & ~d
-        # Resync diverged boards so later steps compare from synced state.
-        c_next = jax.tree.map(
-            lambda ce, ee: jnp.where(
-                eq.reshape((-1,) + (1,) * (ce.ndim - 1)), ce, ee
-            ),
-            c2, e2,
-        )
         live = s.alive_count > 1
-        return s2, c_next, eq, live, mv
+        return s2, c2, eq, live, mv
 
     counts = {"1:stacked-plant": 0, "2:stale-plant-direction": 0,
               "3:multi-bomb-chain": 0, "4:multi-bomb-pileup": 0}
@@ -97,23 +94,28 @@ def main() -> None:
         s = s._replace(agent_can_kick=jnp.broadcast_to(kick[:, None], (b, 4)))
         c = jax.vmap(from_state)(s)
         key = jax.random.PRNGKey(args.seed * 7919 + bi)
+        synced = np.ones(b, bool)
 
         for t in range(args.steps):
             key, k = jax.random.split(key)
             s_pre = s
             s, c, eq, live, mv = census_step(s, c, k)
-            neq = np.asarray(~eq & live)
-            total_live_steps += int(np.asarray(live).sum())
+            live_np = np.asarray(live)
+            neq = np.asarray(~eq) & live_np & synced
+            total_live_steps += int((live_np & synced).sum())
             if neq.any():
                 idx = np.nonzero(neq)[0]
                 total_div += len(idx)
+                synced[idx] = False  # freeze: first divergence only
                 pre_cell = jax.vmap(from_state)(s_pre)
                 post_cell = jax.vmap(from_state)(s)
                 for i in idx:
                     one_pre = jax.tree.map(lambda x: x[i], pre_cell)
                     one_post = jax.tree.map(lambda x: x[i], post_cell)
+                    one_pre_exact = jax.tree.map(lambda x: x[i], s_pre)
                     cl = divergence_classes(one_pre, np.asarray(mv)[i],
-                                            one_post)
+                                            one_post,
+                                            pre_exact=one_pre_exact)
                     if not cl:
                         unclassified.append((bi, t, int(i)))
                     else:
@@ -121,7 +123,7 @@ def main() -> None:
                             multi += 1
                         for name in cl:
                             counts[name] += 1
-            if not bool(np.asarray(live).any()):
+            if not bool((live_np & synced).any()):
                 break
         done_games = bi * args.batch + b
         ppm = 1e6 * total_div / max(total_live_steps, 1)
@@ -133,8 +135,8 @@ def main() -> None:
     out = {
         "games": args.games,
         "steps_cap": args.steps,
-        "live_board_steps": total_live_steps,
-        "divergent_steps": total_div,
+        "synced_live_board_steps": total_live_steps,
+        "first_divergences": total_div,
         "divergence_ppm": round(1e6 * total_div / max(total_live_steps, 1), 2),
         "class_counts": counts,
         "multi_class_steps": multi,

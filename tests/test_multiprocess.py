@@ -77,6 +77,62 @@ def test_two_process_sharded_train_step():
 
 
 @pytest.mark.slow
+def test_two_process_sharded_fsm_chunk_auto_reset():
+    """The FSM-policy chunk WITH the auto-reset path under jax.distributed
+    (VERDICT r4 item 5): 2 processes x 4 devices run the in-kernel
+    SimpleAgent chunk (interpret mode, fsm_state sharded, fresh reset
+    terrain injected) over a global 16-board batch with two boards
+    resetting mid-chunk; every process's local output shards must be
+    bit-identical to a single-process 8-device run."""
+    import importlib.util
+
+    import jax
+    import numpy as np
+
+    spec = importlib.util.spec_from_file_location("mp_worker", WORKER)
+    worker = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(worker)
+
+    results = _run_workers("fsmchunk")
+
+    from pomcpp_tpu.parallel import boards_mesh
+    from pomcpp_tpu.parallel.mesh import shard_batch, sharded_chunk_rollout
+
+    mesh = boards_mesh()
+    cs_local, fsm_l, rand_np, reset_l, batch, steps = worker.fsmchunk_inputs()
+    cs = shard_batch(jax.tree.map(jax.numpy.asarray, cs_local), mesh)
+    run = sharded_chunk_rollout(
+        mesh, steps=steps, policy="simple", interpret=True,
+        inject=True, auto_reset=True, inject_reset=True,
+    )
+    out, _ = run(
+        cs, 0, fsm_state=shard_batch(fsm_l, mesh), moves=rand_np,
+        reset_boards=shard_batch(
+            jax.tree.map(jax.numpy.asarray, reset_l), mesh
+        ),
+    )
+    ref_np = {
+        name: np.asarray(getattr(out, name))
+        for name in type(out)._fields
+        if getattr(out, name).ndim >= 1
+        and getattr(out, name).shape[:1] == (batch,)
+    }
+    # The two pre-finished boards actually reset (all four agents alive).
+    assert int(ref_np["alive_count"][2]) == 4
+    assert int(ref_np["alive_count"][11]) == 4
+
+    covered = []
+    for r in results:
+        assert r["n_global_devices"] == 8
+        assert r["rows_sha256"] == worker.rows_hash(ref_np, r["rows"]), (
+            f"process {r['pid']} fsmchunk shards diverge from the "
+            f"single-process run (rows {r['rows']})"
+        )
+        covered += r["rows"]
+    assert sorted(covered) == list(range(batch))
+
+
+@pytest.mark.slow
 def test_two_process_sharded_chunk_rollout():
     """The PRODUCTION chunk kernel under jax.distributed (VERDICT r3 #4):
     2 processes x 4 devices run ``sharded_chunk_rollout`` (interpret mode,

@@ -142,6 +142,77 @@ def test_sharded_chunk_simple_fsm_matches_unsharded():
 
 
 @pytest.mark.skipif(len(jax.devices()) < 8, reason="needs 8 virtual devices")
+def test_sharded_chunk_fsm_auto_reset_matches_unsharded():
+    """FSM chunk WITH the auto-reset path under the mesh (VERDICT r4 item
+    5): boards that finish mid-chunk are replaced through the real reset
+    merge (fresh terrain injected -- the PRNG primitive is TPU-only), and
+    the sharded run is bit-identical to the unsharded one."""
+    import jax.numpy as jnp
+
+    from pomcpp_tpu.core.board_gen import random_cell_state
+    from pomcpp_tpu.core.constants import C_RIGID
+    from pomcpp_tpu.engine.pallas_step import (
+        pallas_rollout_chunk,
+        simple_fsm_state_init,
+    )
+    from pomcpp_tpu.parallel import sharded_chunk_rollout
+
+    steps, b = 6, 16
+    csb = jax.vmap(random_cell_state)(
+        jax.random.split(jax.random.PRNGKey(31), b)
+    )
+    # Boards 0 and 9 start finished (one live agent) -> reset at step 1.
+    dead = np.zeros((b, 4), bool)
+    dead[0, 1:] = True
+    dead[9, 1:] = True
+    csb = csb._replace(
+        agent_dead=jnp.asarray(dead),
+        alive_count=jnp.asarray(4 - dead.sum(1), jnp.int32),
+    )
+    fsm = simple_fsm_state_init(b)
+    rng = np.random.RandomState(13)
+    rand = jnp.asarray(rng.randint(0, 5, size=(steps, b, 4)), jnp.int32)
+    fresh = jax.vmap(random_cell_state)(
+        jax.random.split(jax.random.PRNGKey(77), b)
+    )
+    fb, fh = fresh.board, fresh.hidden_pow
+
+    ref, ref_fsm = pallas_rollout_chunk(
+        csb, 0, steps=steps, interpret=True, policy="simple",
+        moves=rand, auto_reset=True, fsm_state=fsm, reset_boards=(fb, fh),
+    )
+    # The finished boards really went through the reset: all four agents
+    # alive again (a fresh board has no bombs, so 6 steps cannot kill),
+    # and the rigid terrain equals the injected fresh plane's (rigid cells
+    # never change).
+    for g in (0, 9):
+        assert int(ref.alive_count[g]) == 4
+        np.testing.assert_array_equal(
+            np.asarray(ref.board[g] == C_RIGID),
+            np.asarray(fb[g] == C_RIGID),
+        )
+
+    mesh = boards_mesh()
+    run = sharded_chunk_rollout(
+        mesh, steps=steps, policy="simple", interpret=True, inject=True,
+        auto_reset=True, inject_reset=True,
+    )
+    got, got_fsm = run(
+        shard_batch(csb, mesh), 0, fsm_state=shard_batch(fsm, mesh),
+        moves=rand, reset_boards=shard_batch((fb, fh), mesh),
+    )
+    for name in type(ref)._fields:
+        np.testing.assert_array_equal(
+            np.asarray(getattr(ref, name)), np.asarray(getattr(got, name)),
+            err_msg=f"field {name}",
+        )
+    for i, (a, c) in enumerate(zip(ref_fsm, got_fsm)):
+        np.testing.assert_array_equal(
+            np.asarray(a), np.asarray(c), err_msg=f"fsm carry {i}"
+        )
+
+
+@pytest.mark.skipif(len(jax.devices()) < 8, reason="needs 8 virtual devices")
 def test_opponent_curriculum_train_step_sharded():
     """PPO-vs-SimpleAgent train step over the 8-device boards mesh: the
     opponent FSM state shards alongside the env and the update is finite."""

@@ -54,6 +54,38 @@ def chunk_inputs():
     return cs, moves, batch, steps
 
 
+def fsmchunk_inputs():
+    """Fixed global inputs of the fsmchunk mode: the in-kernel SimpleAgent
+    FSM chunk WITH the auto-reset path (VERDICT r4 item 5).  Two boards
+    start finished so the reset merge fires; the fresh terrain is injected
+    (the PRNG primitive is TPU-only)."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from pomcpp_tpu.core.board_gen import random_cell_state
+    from pomcpp_tpu.engine.pallas_step import simple_fsm_state_init
+
+    batch, steps = 16, 6
+    cs = jax.vmap(random_cell_state)(
+        jax.random.split(jax.random.PRNGKey(31), batch)
+    )
+    dead = np.zeros((batch, 4), bool)
+    dead[2, 1:] = True
+    dead[11, 1:] = True
+    cs = cs._replace(
+        agent_dead=jnp.asarray(dead),
+        alive_count=jnp.asarray(4 - dead.sum(1), jnp.int32),
+    )
+    fsm = simple_fsm_state_init(batch)
+    rng = np.random.default_rng(17)
+    rand = rng.integers(0, 5, size=(steps, batch, 4)).astype(np.int32)
+    fresh = jax.vmap(random_cell_state)(
+        jax.random.split(jax.random.PRNGKey(87), batch)
+    )
+    return cs, fsm, rand, (fresh.board, fresh.hidden_pow), batch, steps
+
+
 def main() -> int:
     pid, nprocs, port, outdir = (
         int(sys.argv[1]), int(sys.argv[2]), sys.argv[3], sys.argv[4]
@@ -74,7 +106,7 @@ def main() -> int:
     assert len(jax.devices()) == 4 * nprocs, jax.devices()
     assert len(jax.local_devices()) == 4
 
-    if mode == "chunk":
+    if mode in ("chunk", "fsmchunk"):
         import numpy as np
         from jax.sharding import NamedSharding, PartitionSpec as P
 
@@ -82,7 +114,6 @@ def main() -> int:
         from pomcpp_tpu.parallel.mesh import sharded_chunk_rollout
 
         mesh = boards_mesh()
-        cs_local, moves_np, batch, steps = chunk_inputs()
 
         def make_global(x, axis=0):
             np_x = np.asarray(x)
@@ -93,13 +124,28 @@ def main() -> int:
                 lambda idx: np_x[idx],
             )
 
-        cs = jax.tree.map(make_global, cs_local)
-        moves = make_global(moves_np, axis=1)
-        run = sharded_chunk_rollout(
-            mesh, steps=steps, policy="random", interpret=True,
-            inject=True, auto_reset=False,
-        )
-        out = run(cs, 0, moves=moves)
+        if mode == "fsmchunk":
+            cs_local, fsm_l, rand_np, reset_l, batch, steps = \
+                fsmchunk_inputs()
+            cs = jax.tree.map(make_global, cs_local)
+            run = sharded_chunk_rollout(
+                mesh, steps=steps, policy="simple", interpret=True,
+                inject=True, auto_reset=True, inject_reset=True,
+            )
+            out, _fsm2 = run(
+                cs, 0, fsm_state=jax.tree.map(make_global, fsm_l),
+                moves=make_global(rand_np, axis=1),
+                reset_boards=jax.tree.map(make_global, reset_l),
+            )
+        else:
+            cs_local, moves_np, batch, steps = chunk_inputs()
+            cs = jax.tree.map(make_global, cs_local)
+            moves = make_global(moves_np, axis=1)
+            run = sharded_chunk_rollout(
+                mesh, steps=steps, policy="random", interpret=True,
+                inject=True, auto_reset=False,
+            )
+            out = run(cs, 0, moves=moves)
 
         # Assemble THIS process's local rows of every output leaf.
         fields = {
