@@ -59,7 +59,8 @@ def _watchdog(seconds: int = 1800) -> None:
     signal.alarm(seconds)
 
 
-def _bench_pallas(policy: str = "harmless") -> float:
+def _bench_pallas(policy: str = "harmless", batch: int = BATCH,
+                  rounds: int = ROUNDS, per_round: int = 4) -> float:
     """Fused-kernel path: whole 64-step chunks run in one Pallas launch."""
     import jax.numpy as jnp
 
@@ -70,9 +71,9 @@ def _bench_pallas(policy: str = "harmless") -> float:
     )
 
     cs = jax.jit(jax.vmap(random_cell_state))(
-        jax.random.split(jax.random.PRNGKey(0), BATCH)
+        jax.random.split(jax.random.PRNGKey(0), batch)
     )
-    fsm = simple_fsm_state_init(BATCH) if policy == "simple" else None
+    fsm = simple_fsm_state_init(batch) if policy == "simple" else None
 
     def run(cs, fsm, seed):
         if policy == "simple":
@@ -85,14 +86,13 @@ def _bench_pallas(policy: str = "harmless") -> float:
     float(jnp.sum(cs.alive_count))  # host fetch = real barrier
 
     best = 0.0
-    per_round = 4
-    for r in range(ROUNDS):
+    for r in range(rounds):
         t0 = time.perf_counter()
         for k in range(per_round):
             cs, fsm = run(cs, fsm, 100 + r * per_round + k)
         float(jnp.sum(cs.alive_count))
         dt = time.perf_counter() - t0
-        best = max(best, BATCH * CHUNK * per_round / dt)
+        best = max(best, batch * CHUNK * per_round / dt)
     return best
 
 
@@ -273,6 +273,32 @@ def main() -> None:
                       file=sys.stderr, flush=True)
                 _watchdog()
 
+    # Batch-scaling curve (VERDICT r4 item 4): the same three configs at
+    # 4096 (BASELINE.json's literal ">=10M at 4096 boards" north-star
+    # wording) and 65536 (config 5's 64K-board point); the 16384 points
+    # are the headline numbers above.  Short protocol (2 rounds x 2
+    # chunks) -- the curve documents scaling shape, not the headline.
+    curve = {}
+    if path == "pallas_chunk":
+        for pol in ("harmless", "random", "simple"):
+            for bsz in (4096, 65536):
+                if time.perf_counter() - t_start > 1500:
+                    print(f"skipping curve {pol}@{bsz} (time budget)",
+                          file=sys.stderr, flush=True)
+                    continue
+                signal.alarm(420)
+                try:
+                    sps = _bench_pallas(pol, batch=bsz, rounds=2,
+                                        per_round=2)
+                    signal.alarm(0)
+                    curve[f"{pol}_{bsz}_steps_per_s"] = round(sps, 1)
+                except BaseException as e:
+                    signal.alarm(0)
+                    print(f"curve {pol}@{bsz} failed "
+                          f"({type(e).__name__}: {e})",
+                          file=sys.stderr, flush=True)
+                    _watchdog()
+
     out = {
         "metric": "env_steps_per_s_single_chip_harmless_config",
         "value": round(best, 1),
@@ -281,6 +307,7 @@ def main() -> None:
         "steps_per_100ms": round(best / 10),  # reference report unit
         "path": path,
     }
+    out.update(curve)
     if random_sps is not None:
         out["random_with_bombs_steps_per_s"] = round(random_sps, 1)
         out["random_with_bombs_vs_baseline"] = round(

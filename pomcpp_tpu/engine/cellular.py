@@ -32,8 +32,14 @@ Key equivalences that make the plane representation faithful:
 * At most one bomb occupies a cell (collision resolution guarantees it), so
   bombs are per-cell planes {timer, strength, dir, owner}.
 
-Documented divergences from the reference (all quantified in
-tests/test_cellular.py; each is an explicit rule choice, not an accident):
+Documented divergences from the reference (attributed per-transition in
+tests/test_cellular.py; each is an explicit rule choice, not an accident).
+Measured real-play frequency (scripts/divergence_census.py, 10k random
+full games x both kick modes, first-divergence semantics): **155 ppm of
+live board-steps total** — class 1: 29, class 2: 10, class 3: 4, class 4:
+0, unclassified: 0 (of 277,177 synced live board-steps; BASELINE.md).
+Random play is the worst case (it plants on occupied bomb cells
+constantly; scripted/trained policies do not):
 
 1. Planting on a cell that already holds a bomb is refused.  The reference
    allows stacking two bombs on one cell (PlantBomb checks only the count,

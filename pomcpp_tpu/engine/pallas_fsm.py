@@ -146,7 +146,12 @@ def danger_map_tile(btimer, bstr, valid):
 
 
 def swar_bfs(board, ac, valid, alive=None):
-    """4-agent BFS -> (V, R): byte-packed visited masks and root ranks.
+    """4-agent BFS -> fr: byte-packed (vis | rank << 1) 3-bit fields.
+
+    Byte i of the returned [block, LANES] plane holds agent i's raw BFS
+    field for the cell: bit 0 = visited (source included), bits [1,3) =
+    root rank (index into _RANK_TO_MOVE; meaningful only when visited and
+    not the source).  Consumers decode ok = f & 1, rank = f >> 1.
 
     ``alive`` ([block,4] bool) prunes DEAD agents' sources (r4): waves are
     per-agent-isolated bit fields, a dead agent's moves are masked before
@@ -307,23 +312,21 @@ def swar_bfs(board, ac, valid, alive=None):
         cond, body, (c, jnp.ones((), I32), jnp.asarray(PREFIX, I32))
     )
 
-    # Unpack once to the byte-per-agent planes the FSM's packed readers
-    # consume (V byte = 0xFF iff visited, R byte = rank 0..3).
-    vs, rs = [], []
+    # Slim unpack (r5): hand the FSM's packed readers the RAW 3-bit
+    # (vis | rank << 1) field per agent in byte lanes -- consumers decode
+    # ok = field & 1, rank = field >> 1 directly, so the old 0xFF-visited
+    # expansion and separate rank plane (~48 ops) shrink to one
+    # shift/mask/merge per agent/half (~24) plus per-agent vis-bit planes
+    # for the flee-window test (vb, bit 0 of each byte).
+    frs = []
     for h in range(halves):
         ch = c >> (12 * h)
-        v = jnp.zeros((Q, LANES), I32)
-        r = jnp.zeros((Q, LANES), I32)
+        f = jnp.zeros((Q, LANES), I32)
         for i in range(4):
-            bit = (ch >> (3 * i)) & 1
-            hv = bit << (8 * i + 7)
-            v = v | hv | (hv - (bit << (8 * i)))
-            r = r | (((ch >> (3 * i + 1)) & 3) << (8 * i))
-        vs.append(v)
-        rs.append(r)
-    if halves == 1:
-        return vs[0], rs[0]
-    return (jnp.concatenate(vs, axis=0), jnp.concatenate(rs, axis=0))
+            f = f | (((ch >> (3 * i)) & 7) << (8 * i))
+        frs.append(f)
+    fr = frs[0] if halves == 1 else jnp.concatenate(frs, axis=0)
+    return fr
 
 
 def _rank_to_move_arr(rank):
@@ -386,10 +389,9 @@ def fsm_block(board, btimer, bstr, ac, abc, amb, adead, rand,
         dmap = danger_map_tile(btimer, bstr, valid)
     safe1 = (dmap == 0) | (dmap >= 2)
     if "fsm_bfs" in _SKIP:
-        v_pl = jnp.zeros((block, LANES), I32)  # nothing visited
-        r_pl = jnp.zeros((block, LANES), I32)
+        fr_pl = jnp.zeros((block, LANES), I32)  # nothing visited
     else:
-        v_pl, r_pl = swar_bfs(board, ac, valid, alive)
+        fr_pl = swar_bfs(board, ac, valid, alive)
 
     oh_ac = [lane == ac[:, i : i + 1] for i in range(4)]
 
@@ -407,21 +409,25 @@ def fsm_block(board, btimer, bstr, ac, abc, amb, adead, rand,
     # Neighbor cells for SafeDirections, order RIGHT, LEFT, DOWN, UP
     # (strategy.cpp:197-221).
     n_off = ((1, 0, M_RIGHT), (-1, 0, M_LEFT), (0, 1, M_DOWN), (0, -1, M_UP))
-    inbs, ncells = [], []
+    inbs = []
     for (dx, dy, mv) in n_off:
         nx = acx + dx
         ny = acy + dy
         inb = (nx >= 0) & (nx < BOARD_SIZE) & (ny >= 0) & (ny < BOARD_SIZE)
         inbs.append(inb)
-        ncells.append(jnp.where(inb, nx + BOARD_SIZE * ny, 127))
 
     s1w = (safe1 & walk1).astype(I32)
+    # Neighbor weight plane from 4 PUSHES of one packed agent-bit plane
+    # (r5): onehot(ac + delta_s) = push_s(onehot(ac)), so the 16 one-hot
+    # compares + shift/add pairs collapse to one packed build + 4 pushes
+    # (~24 fewer ops; OOB neighbors drop out of the push mask, and ok_s
+    # is gated on inbs anyway).
+    w0 = oh_ac[0].astype(I32)
+    for i in (1, 2, 3):
+        w0 = w0 | (oh_ac[i].astype(I32) << i)
     w_nb = jnp.zeros((block, LANES), I32)
-    for s in range(4):
-        for i in range(4):
-            w_nb = w_nb + (
-                (lane == ncells[s][:, i : i + 1]).astype(I32) << (4 * s + i)
-            )
+    for s, (_, _, mv) in enumerate(n_off):
+        w_nb = w_nb | (_push(w0, mv, False) << (4 * s))
     w_own = jnp.zeros((block, LANES), I32)
     for i in range(4):
         w_own = w_own + (oh_ac[i].astype(I32) << (16 + 4 * i))
@@ -451,7 +457,7 @@ def fsm_block(board, btimer, bstr, ac, abc, amb, adead, rand,
         # by manh <= rad (|ly-oy| <= manh), so only the buggy upper
         # bounds remain.  Reachable and not the agent's own cell (the
         # toolkit's dist != 0 && dist != unreachable filter).
-        vf = (v_pl >> (8 * i)) & _BYTE
+        vf = (fr_pl >> (8 * i)) & 1
         mask = (
             (ly < rad) & (lx < rad) & (manh <= rad) & (vf != 0)
             & (lane != ac[:, i : i + 1]) & safe1 & valid
@@ -472,30 +478,32 @@ def fsm_block(board, btimer, bstr, ac, abc, amb, adead, rand,
         for k in (1, 2, 3)
     ]
     alive_k = [None] + [_rot4(alive, k) for k in (1, 2, 3)]
+    # "First live agent in ID order within manhattan 7" == the candidate
+    # with MINIMAL target id j = (i+k) & 3 (each k names a distinct j per
+    # lane, so min-j selection replaces the r4 4x3 priority sweep -- ~70
+    # fewer [block,4] ops, r5).
     ecell = jnp.full((block, 4), _NOCELL, I32)
-    chosen = jnp.zeros((block, 4), jnp.bool_)
-    for jv in range(4):
-        for k in (1, 2, 3):
-            is_j = ((lane4 + k) & 3) == jv
-            okk = (
-                is_j & alive_k[k] & (manh_k[k] <= 7) & (manh_k[k] > 0)
-                & ~chosen
-            )
-            ecell = jnp.where(okk, _rot4(ac, k), ecell)
-            chosen = chosen | okk
+    best_j = jnp.full((block, 4), 4, I32)
+    for k in (1, 2, 3):
+        jv = (lane4 + k) & 3
+        take = (
+            alive_k[k] & (manh_k[k] <= 7) & (manh_k[k] > 0)
+            & (jv < best_j)
+        )
+        best_j = jnp.where(take, jv, best_j)
+        ecell = jnp.where(take, _rot4(ac, k), ecell)
 
     # One merged read for BOTH lookups: byte i carries agent i's safe-cell
     # (vis|rank) field in its low nibble and its enemy-cell field in the
-    # high nibble (vr values are 3 bits, so vr_pl << 4 stays in-byte).
-    vr_pl = (v_pl & _VR4) | r_pl
+    # high nibble (field values are 3 bits, so fr_pl << 4 stays in-byte).
     w_sc = _mkw_bytes(oh_sc)
     w_ec = _mkw_hi([lane == ecell[:, i : i + 1] for i in range(4)])
-    red_se = jnp.sum((vr_pl & w_sc) + ((vr_pl << 4) & w_ec),
+    red_se = jnp.sum((fr_pl & w_sc) + ((fr_pl << 4) & w_ec),
                      axis=1, keepdims=True)
     s_at = (red_se >> (8 * lane4)) & 7
     e_at = (red_se >> (8 * lane4 + 4)) & 7
-    m_safe = _move_towards(s_at & 4, s_at & 3)
-    m_enemy = _move_towards(e_at & 4, e_at & 3)
+    m_safe = _move_towards(s_at & 1, s_at >> 1)
+    m_enemy = _move_towards(e_at & 1, e_at >> 1)
 
     # Destination checks for m_safe / m_enemy: the FSM consumes only
     # walkable & safe_condition(d, 2) and walkable & safe_condition(d, 5)

@@ -440,14 +440,22 @@ def _step_block(board, hidden, ftimer, bp, ax, ay, abc, amb, ast, akick,
         r = jnp.sum(bit_plane * wpos, axis=1, keepdims=True)
         return (r >> lane4) & 1 != 0
 
-    def revert_chain(board, ac_, bp, trigger):
+    def revert_chain(board, ac_, bp, trigger, no_moving: bool = False):
         """Bounce reverting agents back to their origins, cascading into
         occupants and kicked bombs (step_utility.cpp:62-128 semantics as
         re-derived in round 1; control flow is a while_loop over the <= 6
         cascade rounds).  Round 1 runs straight-line outside the loop --
         callers only enter with a nonzero trigger, so the first round is
         always active and the common single-round cascade pays ONE
-        any+scalar-round-trip (the exit check) instead of two."""
+        any+scalar-round-trip (the exit check) instead of two.
+
+        ``no_moving`` (STATIC, r5): the idle bomb phase is only entered
+        when NO bomb has a direction (the phase gate tests dir != 0 after
+        kicks), and reverts never set directions -- so the whole
+        moving-bomb half of the body (the wanted/_dest_val probe, the
+        dir-clear writes, and the on_stopped packed reduction) is
+        provably dead there and traced away (~43 ops + one cross-lane
+        reduction per cascade round on the common path)."""
 
         def cond(carry):
             board, ac_, bp, cur, done, k = carry
@@ -473,19 +481,20 @@ def _step_block(board, hidden, ftimer, bp, ax, ay, abc, amb, ast, akick,
                 (rot4(ac_, k2) == oc) & rot4(alive2, k2) for k2 in (1, 2, 3)
             ]
             has_occ = occk[1] | occk[2] | occk[3]
-            no_occ = act & ~has_occ
             oh_oc = [lane == oc[:, i : i + 1] for i in range(4)]
-            wanted = jnp.zeros((block, LANES), jnp.bool_)
-            for i in range(4):
-                wanted = wanted | (oh_oc[i] & no_occ[:, i : i + 1])
-            dest_wanted = _dest_val(wanted, dir0, False)
-            moving_bomb = (
-                (bp_timer(bp) > 0) & dest_wanted & (bp_dir(bp) != 0)
-            )
-            bp = jnp.where(moving_bomb, bp & ~(7 << 10), bp)
-            board = jnp.where(
-                moving_bomb & ~_is_agent(board), C_BOMB, board
-            )
+            if not no_moving:
+                no_occ = act & ~has_occ
+                wanted = jnp.zeros((block, LANES), jnp.bool_)
+                for i in range(4):
+                    wanted = wanted | (oh_oc[i] & no_occ[:, i : i + 1])
+                dest_wanted = _dest_val(wanted, dir0, False)
+                moving_bomb = (
+                    (bp_timer(bp) > 0) & dest_wanted & (bp_dir(bp) != 0)
+                )
+                bp = jnp.where(moving_bomb, bp & ~(7 << 10), bp)
+                board = jnp.where(
+                    moving_bomb & ~_is_agent(board), C_BOMB, board
+                )
 
             for i in range(4):
                 board = jnp.where(
@@ -496,10 +505,13 @@ def _step_block(board, hidden, ftimer, bp, ax, ay, abc, amb, ast, akick,
             nxt = jnp.zeros((block, 4), jnp.bool_)
             for k2 in (1, 2, 3):
                 nxt = nxt | rot4(act & occk[k2], 4 - k2)
-            on_stopped = (
-                read_bits(moving_bomb.astype(I32), ac_) & alive2
-            )
-            cur = ((nxt | on_stopped) & (done == 0)).astype(I32)
+            if no_moving:
+                cur = (nxt & (done == 0)).astype(I32)
+            else:
+                on_stopped = (
+                    read_bits(moving_bomb.astype(I32), ac_) & alive2
+                )
+                cur = ((nxt | on_stopped) & (done == 0)).astype(I32)
             return board, ac_, bp, cur, done, k + 1
 
         zero4 = jnp.zeros((block, 4), I32)
@@ -517,12 +529,14 @@ def _step_block(board, hidden, ftimer, bp, ax, ay, abc, amb, ast, akick,
         show = (bp_timer(bp) > 0) & ~occupied & _is_agent(board)
         return jnp.where(show, C_BOMB, board)
 
-    def gated_revert(board, ac_, bp, bit_bool, relevant):
+    def gated_revert(board, ac_, bp, bit_bool, relevant,
+                     no_moving: bool = False):
         """Revert cascade behind a CHEAP scalar gate (r4): fired iff some
         ``relevant`` agent stands on a set cell of ``bit_bool``.  The gate
         is one bool-plane any over an 11-op occupancy mask; the [block,4]
         trigger (a packed lane reduction + unpack) is built only inside
-        the taken branch, so the common quiet step never pays it."""
+        the taken branch, so the common quiet step never pays it.
+        ``no_moving`` (static) forwards to revert_chain."""
         occ = jnp.zeros((block, LANES), jnp.bool_)
         for i in range(4):
             occ = occ | (
@@ -535,7 +549,8 @@ def _step_block(board, hidden, ftimer, bp, ax, ay, abc, amb, ast, akick,
             trigger = (
                 relevant & read_bits(bit_bool.astype(I32), ac_)
             ).astype(I32)
-            board, ac_, bp = revert_chain(board, ac_, bp, trigger)
+            board, ac_, bp = revert_chain(board, ac_, bp, trigger,
+                                          no_moving=no_moving)
             board = restore_bomb_items(board, ac_, bp)
             return board, ac_, bp
 
@@ -588,7 +603,7 @@ def _step_block(board, hidden, ftimer, bp, ax, ay, abc, amb, ast, akick,
         agent_moved = ac_ != old_ac
         relevant = alive2 & directional_move & agent_moved
         board, ac_, bp, _ = gated_revert(
-            board, ac_, bp, bp_timer(bp) > 0, relevant
+            board, ac_, bp, bp_timer(bp) > 0, relevant, no_moving=True
         )
         return board, bp, ac_, jnp.zeros((block, LANES), I32)
 
