@@ -431,13 +431,31 @@ def fsm_block(board, btimer, bstr, ac, abc, amb, adead, rand,
     w_own = jnp.zeros((block, LANES), I32)
     for i in range(4):
         w_own = w_own + (oh_ac[i].astype(I32) << (16 + 4 * i))
-    red_on = jnp.sum(s1w * w_nb + jnp.clip(dmap, 0, 15) * w_own,
-                     axis=1, keepdims=True)
+    red_on = jnp.zeros((block, 1), I32) if "fsm_red" in _SKIP else \
+        jnp.sum(s1w * w_nb + jnp.clip(dmap, 0, 15) * w_own,
+                axis=1, keepdims=True)
     ok_s = [
         inbs[s] & (((red_on >> (4 * s + lane4)) & 1) != 0) for s in range(4)
     ]
     danger_self = (red_on >> (16 + 4 * lane4)) & 15
     in_danger = danger_self > 0
+
+    # Second neighbor read (r5, replaces the r4 red_de stage): walkable &
+    # safe(5) at the 4 neighbors (bits [0,16), reusing w_nb) + the
+    # own-cell wood-adjacency bit (bits [16,20)).  Independent of red_se,
+    # so the two can overlap.
+    safe5 = (dmap == 0) | (dmap >= 5)
+    s5w = (safe5 & walk1).astype(I32)
+    w_wd = jnp.zeros((block, LANES), I32)
+    for i in range(4):
+        w_wd = w_wd + (oh_ac[i].astype(I32) << (16 + i))
+    red_on2 = jnp.zeros((block, 1), I32) if "fsm_red" in _SKIP else \
+        jnp.sum(s5w * w_nb + wood_adj_pl.astype(I32) * w_wd,
+                axis=1, keepdims=True)
+    ok5_s = [
+        inbs[s] & (((red_on2 >> (4 * s + lane4)) & 1) != 0) for s in range(4)
+    ]
+    wood_adj = ((red_on2 >> (16 + lane4)) & 1) != 0
 
     # --- path A: flee -----------------------------------------------------
     # Safe-place candidate per agent: first window cell (row-major),
@@ -446,28 +464,32 @@ def fsm_block(board, btimer, bstr, ac, abc, amb, adead, rand,
     # prefix-or over a 4-bit packed mask plane -- first-set-lane IS the
     # row-major minimum, and the bitwise scan serves all four agents at
     # once (reductions cost ~an order more than element-wise ops).
-    m4 = jnp.zeros((block, LANES), I32)
-    for i in range(4):
-        rad = danger_self[:, i : i + 1]
-        ox = acx[:, i : i + 1]
-        oy = acy[:, i : i + 1]
-        manh = jnp.abs(lx - ox) + jnp.abs(ly - oy)
-        # The reference's buggy window is (ly in [oy-rad, rad)) x (lx in
-        # [ox-rad, rad)) & manh <= rad; the two LOWER bounds are implied
-        # by manh <= rad (|ly-oy| <= manh), so only the buggy upper
-        # bounds remain.  Reachable and not the agent's own cell (the
-        # toolkit's dist != 0 && dist != unreachable filter).
-        vf = (fr_pl >> (8 * i)) & 1
-        mask = (
-            (ly < rad) & (lx < rad) & (manh <= rad) & (vf != 0)
-            & (lane != ac[:, i : i + 1]) & safe1 & valid
-        )
-        m4 = m4 | (mask.astype(I32) << i)
-    pref = m4
-    for sh in (1, 2, 4, 8, 16, 32, 64):
-        pref = pref | jnp.where(lane >= sh, pltpu.roll(pref, sh, 1), 0)
-    excl = jnp.where(lane >= 1, pltpu.roll(pref, 1, 1), 0)
-    first4 = m4 & ~excl  # bit i: THE first masked lane of agent i (or none)
+    if "fsm_flee" in _SKIP:  # cost attribution only
+        first4 = jnp.zeros((block, LANES), I32)
+    else:
+        m4 = jnp.zeros((block, LANES), I32)
+        for i in range(4):
+            rad = danger_self[:, i : i + 1]
+            ox = acx[:, i : i + 1]
+            oy = acy[:, i : i + 1]
+            manh = jnp.abs(lx - ox) + jnp.abs(ly - oy)
+            # The reference's buggy window is (ly in [oy-rad, rad)) x (lx
+            # in [ox-rad, rad)) & manh <= rad; the two LOWER bounds are
+            # implied by manh <= rad (|ly-oy| <= manh), so only the buggy
+            # upper bounds remain.  Reachable and not the agent's own
+            # cell (the toolkit's dist != 0 && dist != unreachable
+            # filter).
+            vf = (fr_pl >> (8 * i)) & 1
+            mask = (
+                (ly < rad) & (lx < rad) & (manh <= rad) & (vf != 0)
+                & (lane != ac[:, i : i + 1]) & safe1 & valid
+            )
+            m4 = m4 | (mask.astype(I32) << i)
+        pref = m4
+        for sh in (1, 2, 4, 8, 16, 32, 64):
+            pref = pref | jnp.where(lane >= sh, pltpu.roll(pref, sh, 1), 0)
+        excl = jnp.where(lane >= 1, pltpu.roll(pref, 1, 1), 0)
+        first4 = m4 & ~excl  # bit i: THE first masked lane per agent
     oh_sc = [((first4 >> i) & 1) != 0 for i in range(4)]
 
     # Enemy target: first live agent (id order) within manhattan 7 not on
@@ -498,49 +520,29 @@ def fsm_block(board, btimer, bstr, ac, abc, amb, adead, rand,
     # high nibble (field values are 3 bits, so fr_pl << 4 stays in-byte).
     w_sc = _mkw_bytes(oh_sc)
     w_ec = _mkw_hi([lane == ecell[:, i : i + 1] for i in range(4)])
-    red_se = jnp.sum((fr_pl & w_sc) + ((fr_pl << 4) & w_ec),
-                     axis=1, keepdims=True)
+    red_se = jnp.zeros((block, 1), I32) if "fsm_red" in _SKIP else \
+        jnp.sum((fr_pl & w_sc) + ((fr_pl << 4) & w_ec),
+                axis=1, keepdims=True)
     s_at = (red_se >> (8 * lane4)) & 7
     e_at = (red_se >> (8 * lane4 + 4)) & 7
     m_safe = _move_towards(s_at & 1, s_at >> 1)
     m_enemy = _move_towards(e_at & 1, e_at >> 1)
 
-    # Destination checks for m_safe / m_enemy: the FSM consumes only
-    # walkable & safe_condition(d, 2) and walkable & safe_condition(d, 5)
-    # PREDICATES of the destination cell, so both reads collapse to one
-    # 2-bit-per-cell packed reduction (r4; was two 5-bit value reads).
-    sdx, sdy = _mv_dxdy(m_safe)
-    sdc = ac + sdx + BOARD_SIZE * sdy
-    s_inb = (
-        (acx + sdx >= 0) & (acx + sdx < BOARD_SIZE)
-        & (acy + sdy >= 0) & (acy + sdy < BOARD_SIZE)
-    )
-    sdc_safe = jnp.where(s_inb, sdc, 127)
-    edx, edy = _mv_dxdy(m_enemy)
-    e_inb = (
-        (acx + edx >= 0) & (acx + edx < BOARD_SIZE)
-        & (acy + edy >= 0) & (acy + edy < BOARD_SIZE)
-    )
-    edc = jnp.where(e_inb, ac + edx + BOARD_SIZE * edy, 127)
-    # Destination predicates + wood-adjacency in ONE reduction: safe(2) at
-    # the flee destination (1-bit fields [0,4)), safe(5) at the enemy-move
-    # destination (bits [8,12) -- 2-bit stride keeps the old field plan),
-    # and the own-cell wood-adjacent bit (bits [16,20)).
-    safe5 = (dmap == 0) | (dmap >= 5)
-    pred2 = (safe1 & walk1).astype(I32) + 2 * (safe5 & walk1).astype(I32)
-    w_de = jnp.zeros((block, LANES), I32)
-    for i in range(4):
-        w_de = w_de + ((lane == sdc_safe[:, i : i + 1]).astype(I32) << (2 * i))
-        w_de = w_de + ((lane == edc[:, i : i + 1]).astype(I32) << (8 + 2 * i))
-    w_wd = jnp.zeros((block, LANES), I32)
-    for i in range(4):
-        w_wd = w_wd + (oh_ac[i].astype(I32) << (16 + i))
-    red_de = jnp.sum(pred2 * w_de + wood_adj_pl.astype(I32) * w_wd,
-                     axis=1, keepdims=True)
-    a_ok = in_danger & s_inb & (((red_de >> (2 * lane4)) & 1) != 0)
+    # Destination checks for m_safe / m_enemy (r5): the destinations are
+    # always the agent's 4-NEIGHBORS (or its own cell when IDLE, where
+    # both predicates are vacuously false -- the agent occupies it, so
+    # walkable is false), and red_on/red_on2 already read every neighbor's
+    # predicate.  Selecting the m_safe/m_enemy direction's neighbor bit
+    # replaces the r4 red_de reduction AND its dynamic one-hot weight
+    # build (~40 ops), and red_on2 has no data dependency on red_se, so
+    # the chain of cross-lane reductions shortens by one stage.
+    a_ok = jnp.zeros((block, 4), jnp.bool_)
+    b3_ok = jnp.zeros((block, 4), jnp.bool_)
+    for s, (_, _, mv) in enumerate(n_off):
+        a_ok = a_ok | ((m_safe == mv) & ok_s[s])
+        b3_ok = b3_ok | ((m_enemy == mv) & ok5_s[s])
+    a_ok = in_danger & a_ok
     a_else = in_danger & ~a_ok
-    b3_ok = e_inb & (((red_de >> (8 + 2 * lane4)) & 2) != 0)
-    wood_adj = ((red_de >> (16 + lane4)) & 1) != 0
 
     # --- moveQueue recompute: SafeDirections + SortDirections -------------
     # (ok_s / inbs / ncells computed up top, merged into the own-cell
@@ -659,6 +661,9 @@ def fsm_block(board, btimer, bstr, ac, abc, amb, adead, rand,
             ),
         ),
     ).astype(I32)
+
+    if "fsm_state_upd" in _SKIP:  # cost attribution only
+        return move, list(rp), rph, rpc, list(mq)
 
     # moveQueue persists only when the queue path actually ran.
     mq_written = a_else | c_path

@@ -617,33 +617,57 @@ def _step_block(board, hidden, ftimer, bp, ax, ay, abc, amb, ast, akick,
         ditem = _dest_val(board, bd, C_RIGID)
         can_enter = ~_dest_oob(bd) & ~_static_block(ditem)
 
-        arrivals = jnp.where(has_bomb & ~moving, 1, 0)
+        # ONE merged push set (r5): each direction pushes the packed bomb
+        # word (bits [0,15)) together with an arrival-count unit (bit 25;
+        # field [25,28) holds <= 5 arrivals+stay) and a can-enter flag
+        # (bit 28; field [28,31) sums <= 4 flags without touching the
+        # count).  This replaces the r4 indicator-push set; the value
+        # deposit is valid on the FAST path below (identical sources),
+        # and the rare revert-fired case falls back to a fresh push set
+        # because the revert can clear a slider's direction mid-pass.
+        val = bp | jnp.where(can_enter, (1 << 25) | (1 << 28), 1 << 25)
+        tot = jnp.where(has_bomb & ~moving, bp | (1 << 25), 0)
         for d in (1, 2, 3, 4):
-            arrivals = arrivals + jnp.where(
-                _push(moving & (bd == d), d, False), 1, 0
-            )
-        dest_count = _dest_val(arrivals, jnp.where(moving, bd, 0), 0)
+            tot = tot + _push(jnp.where(moving & (bd == d), val, 0), d, 0)
+        cnt = (tot >> 25) & 7
+        dest_count = _dest_val(cnt, jnp.where(moving, bd, 0), 0)
         collide = has_bomb & (dest_count >= 2)
         stopped_kick = collide & moving
         bp = jnp.where(collide | (moving & ~can_enter), bp & ~(7 << 10), bp)
 
-        board, ac_, bp, _ = gated_revert(
+        board, ac_, bp, fired = gated_revert(
             board, ac_, bp, stopped_kick, alive2 & directional_move
         )
 
-        bd = bp_dir(bp)
-        do_move = (bp_timer(bp) > 0) & (bd != 0) & can_enter & ~collide
+        def moved(bp, inc):
+            bd2 = bp_dir(bp)
+            do_move = (bp_timer(bp) > 0) & (bd2 != 0) & can_enter & ~collide
+            stay = jnp.where(do_move, 0, bp)
+            return jnp.maximum(stay, inc), inc
 
-        stay = jnp.where(do_move, 0, bp)
-        inc = jnp.zeros_like(bp)
-        for d in (1, 2, 3, 4):
-            inc = jnp.maximum(
-                inc, _push(jnp.where(do_move & (bd == d), bp, 0), d, 0)
-            )
-        new_bp = jnp.maximum(stay, inc)
+        def fast(bp):
+            # cnt==1 with the can-enter flag set means exactly one mover
+            # deposits here and nothing blocked/collided it; its packed
+            # word is tot's low field verbatim.
+            arr = ((cnt == 1) & (((tot >> 28) & 7) != 0)).astype(I32)
+            return moved(bp, arr * (tot & 0x7FFF))
+
+        def slow(bp):
+            bd2 = bp_dir(bp)
+            do_move = (bp_timer(bp) > 0) & (bd2 != 0) & can_enter & ~collide
+            inc = jnp.zeros_like(bp)
+            for d in (1, 2, 3, 4):
+                inc = jnp.maximum(
+                    inc, _push(jnp.where(do_move & (bd2 == d), bp, 0), d, 0)
+                )
+            return moved(bp, inc)
+
+        new_bp, inc = jax.lax.cond(fired, slow, fast, bp)
         arrived = inc > 0  # a sliding bomb's packed word is nonzero
 
-        vacated = do_move & (board == C_BOMB) & (new_bp == 0)
+        # A source cell loses its bomb only by moving out (stay keeps the
+        # word), so (had bomb) & (now empty) == the old do_move & empty.
+        vacated = ((bp & 15) > 0) & (board == C_BOMB) & (new_bp == 0)
         board = jnp.where(vacated, C_PASSAGE, board)
         slide = (arrived & (board == C_FLAME)).astype(I32)
         board = jnp.where(
@@ -890,16 +914,17 @@ def _chunk_kernel(seed_ref, *refs, steps: int, n_moves: int = 6,
             rec_refs[0][pl.dslice(i, 1), :, :] = moves[None]
             rec_refs[1][pl.dslice(i, 1), :, :] = done.astype(I32)[None]
 
-        if not auto_reset:
+        if not auto_reset or "reset" in _SKIP:
             return carry
 
-        def do_reset(carry):
-            return tuple(
-                jnp.where(done, f, c) for f, c in zip(fresh, carry)
-            )
-
-        return jax.lax.cond(
-            jnp.any(done), do_reset, lambda c: c, carry
+        # UNCONDITIONAL merge (r5): with 128 boards/block some board
+        # finishes nearly every step, so the old jnp.any(done) +
+        # lax.cond fired almost always -- and a cond over the 21-array
+        # carry measured ~4 us/block-step (attribution skip=reset:
+        # 136 ms of 628), an order more than the ~25 select ops it
+        # guarded.  The straight-line merge pays only the selects.
+        return tuple(
+            jnp.where(done, f, c) for f, c in zip(fresh, carry)
         )
 
     if auto_reset:

@@ -108,10 +108,128 @@ def bench_big(kern, block, label):
     return dt
 
 
+def _kernel_dot(x_ref, w_ref, o_ref, *, rows):
+    w = w_ref[:]
+
+    def body(i, sub):
+        for _ in range(N // 2):
+            sub = jax.lax.dot(sub, w)
+            sub = sub + 1.0
+        return sub
+
+    o_ref[:rows] = jax.lax.fori_loop(0, K, body, x_ref[:rows])
+    if rows < BLOCK:
+        o_ref[rows:] = x_ref[rows:]
+
+
+def bench_dot(rows):
+    """Chained [rows,128] @ [128,128] f32 dots (the shift-matrix BFS push
+    candidate) vs pltpu.roll at the same shapes."""
+    shape = (BLOCK, 128)
+    f = pl.pallas_call(
+        functools.partial(_kernel_dot, rows=rows),
+        grid=(GRID,),
+        in_specs=[
+            pl.BlockSpec(shape, lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((128, 128), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec(shape, lambda i: (i, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((BLOCK * GRID, 128), jnp.float32),
+    )
+    import numpy as np
+
+    x = jnp.ones((BLOCK * GRID, 128), jnp.float32)
+    w = jnp.asarray(np.eye(128, k=1), jnp.float32)  # shift matrix
+    fj = jax.jit(lambda x: f(x, w).sum())
+    float(fj(x))
+    t0 = time.perf_counter()
+    reps = 5
+    for _ in range(reps):
+        float(fj(x))
+    dt = (time.perf_counter() - t0) / reps
+    ops = K * (N // 2)
+    print(f"dot  rows={rows:3d}: {dt * 1e3:8.2f} ms  "
+          f"({dt / ops / GRID * 1e9:7.2f} ns/dot+add/block)")
+    return dt
+
+
+def _kernel_sumred(x_ref, o_ref, *, rows):
+    def body(i, sub):
+        for _ in range(N // 8):
+            r = jnp.sum(sub, axis=1, keepdims=True)
+            sub = sub + r
+        return sub
+
+    o_ref[:rows] = jax.lax.fori_loop(0, K, body, x_ref[:rows])
+    if rows < BLOCK:
+        o_ref[rows:] = x_ref[rows:]
+
+
+def _kernel_dotred(x_ref, w_ref, o_ref, *, rows):
+    w = w_ref[:, :8]  # [128, 8] ones columns
+
+    def body(i, sub):
+        for _ in range(N // 8):
+            lo = jax.lax.dot((sub & 0xFFFF).astype(jnp.float32), w)
+            hi = jax.lax.dot((sub >> 16).astype(jnp.float32), w)
+            r = lo[:, :1].astype(jnp.int32) + (
+                hi[:, :1].astype(jnp.int32) << 16
+            )
+            sub = sub + r
+        return sub
+
+    o_ref[:rows] = jax.lax.fori_loop(0, K, body, x_ref[:rows])
+    if rows < BLOCK:
+        o_ref[rows:] = x_ref[rows:]
+
+
+def bench_red():
+    import numpy as np
+
+    shape = (BLOCK, 128)
+    for kern, label, extra in (
+        (_kernel_sumred, "sumred", ()),
+        (_kernel_dotred, "dotred", (jnp.ones((128, 128), jnp.float32),)),
+    ):
+        in_specs = [pl.BlockSpec(shape, lambda i: (i, 0),
+                                 memory_space=pltpu.VMEM)]
+        if extra:
+            in_specs.append(pl.BlockSpec((128, 128), lambda i: (0, 0),
+                                         memory_space=pltpu.VMEM))
+        f = pl.pallas_call(
+            functools.partial(kern, rows=BLOCK),
+            grid=(GRID,),
+            in_specs=in_specs,
+            out_specs=pl.BlockSpec(shape, lambda i: (i, 0),
+                                   memory_space=pltpu.VMEM),
+            out_shape=jax.ShapeDtypeStruct((BLOCK * GRID, 128), jnp.int32),
+        )
+        x = jnp.ones((BLOCK * GRID, 128), jnp.int32)
+        fj = jax.jit(lambda x: f(x, *extra).sum())
+        float(fj(x))
+        t0 = time.perf_counter()
+        reps = 5
+        for _ in range(reps):
+            float(fj(x))
+        dt = (time.perf_counter() - t0) / reps
+        nred = K * (N // 8)
+        print(f"{label}: {dt * 1e3:8.2f} ms  "
+              f"({dt / nred / GRID * 1e9:7.1f} ns/reduction/block)")
+
+
 if __name__ == "__main__":
     import sys
 
     print(f"device: {jax.devices()[0].platform}")
+    if "--red" in sys.argv:
+        bench_red()
+        raise SystemExit
+    if "--dot" in sys.argv:
+        for r in (128, 64, 32, 16):
+            bench_dot(r)
+        raise SystemExit
     if "--big" in sys.argv:
         for kern, label in ((_kernel_elem, "elem"), (_kernel_roll, "roll")):
             base = bench_big(kern, 128, label)
@@ -127,3 +245,7 @@ if __name__ == "__main__":
     for r in (64, 32, 16, 8):
         t = bench(_kernel_roll, r, "roll")
         print(f"  roll [{r},128]/[128,128]: {t / base_r:.2f}")
+
+
+
+
