@@ -359,14 +359,16 @@ def _enc_pos(px, py):
 
 
 def fsm_block(board, btimer, bstr, ac, abc, amb, adead, rand,
-              rp, rph, rpc, mq):
+              rp_pk, rpc, mq_pk):
     """SimpleAgent joint act on kernel tiles.
 
     ``rand``: i32[block,4] in [0,5) (one draw per agent-act, like
-    simple_agent_cell_joint).  ``rp``: list of 4 [block,4] ring slots
-    (encoded positions), ``rph``/``rpc``: ring head/count, ``mq``: list of
-    4 [block,4] persistent moveQueue slots.  Returns (moves, rp', rph',
-    rpc', mq').
+    simple_agent_cell_joint).  ``rp_pk``: the 4 ring slots (encoded
+    positions <= 168) PACKED as bytes of one i32[block,4] word (slot k at
+    bits [8k, 8k+8); logical order, slot 0 oldest); ``rpc``: ring count;
+    ``mq_pk``: the 4 persistent moveQueue slots packed as nibbles (slot k
+    at bits [4k, 4k+4)).  The packing (r5) shrinks the chunk loop carry
+    from 10 FSM arrays to 3.  Returns (moves, rp_pk', rpc', mq_pk').
     """
     block = board.shape[0]
     lane = _lane_iota(block)
@@ -559,15 +561,17 @@ def fsm_block(board, btimer, bstr, ac, abc, amb, adead, rand,
         val = jnp.zeros((block, 4), I32)
         for s, (_, _, mv) in enumerate(n_off):
             val = jnp.where(ok_s[s] & (rank_s[s] == rslot), mv, val)
-        new_mq.append(jnp.where(rslot < mq_count, val, mq[rslot]))
+        new_mq.append(
+            jnp.where(rslot < mq_count, val, (mq_pk >> (4 * rslot)) & 7)
+        )
 
-    # r4: the ring is STORED in logical order (slot 0 = oldest; rph is a
-    # carried constant 0), so the 16-where physical->logical gather the
-    # sort and rp-loop used to pay per step disappears; a full ring pushes
-    # by shifting slots down (see the update at the end).  Stale-slot
-    # semantics are unchanged: slots >= count hold _RP_STALE exactly as
-    # the head-0 physical layout did.
-    rpl = list(rp)
+    # r4: the ring is STORED in logical order (slot 0 = oldest; the ring
+    # head is a constant 0 and not carried at all), so the 16-where
+    # physical->logical gather the sort and rp-loop used to pay per step
+    # disappears; a full ring pushes by shifting bytes down (see the
+    # update at the end).  Stale-slot semantics are unchanged: byte slots
+    # >= count hold _RP_STALE exactly as the head-0 physical layout did.
+    rpl = [(rp_pk >> (8 * j)) & 255 for j in range(4)]
 
     # SortDirections: replicate the RemoveAt+AddElem aliasing walk
     # (strategy.hpp:130-152 via strategy/moves.py:sort_directions).
@@ -663,24 +667,30 @@ def fsm_block(board, btimer, bstr, ac, abc, amb, adead, rand,
     ).astype(I32)
 
     if "fsm_state_upd" in _SKIP:  # cost attribution only
-        return move, list(rp), rph, rpc, list(mq)
+        return move, rp_pk, rpc, mq_pk
 
-    # moveQueue persists only when the queue path actually ran.
+    # moveQueue persists only when the queue path actually ran.  The sort
+    # walk's q already holds the sorted slots as nibbles (bit 3 of each =
+    # the visited flag), so the packed write is ONE select.
     mq_written = a_else | c_path
-    mq_out = [
-        jnp.where(mq_written, sorted_mq[k], mq[k]) for k in range(4)
-    ]
+    if "fsm_sort" in _SKIP:
+        q_vals = jnp.zeros((block, 4), I32)
+        for k in range(4):
+            q_vals = q_vals | (sorted_mq[k] << (4 * k))
+    else:
+        q_vals = q & 0x7777
+    mq_out = jnp.where(mq_written, q_vals, mq_pk)
 
     # recentPositions ring update with the final move's desired position
     # (_mv_dxdy gives (0,0) for IDLE and BOMB, like DesiredPosition).
-    # Logical-order push: a full ring shifts down (dropping the oldest)
-    # and appends at slot 3; a filling ring appends at slot ``count``.
+    # Logical-order push in byte space: a full ring shifts bytes down
+    # (dropping the oldest; mask off the arithmetic-shift sign smear) and
+    # appends at slot 3; a filling ring appends at slot ``count`` with a
+    # masked byte write (stale slots keep _RP_STALE).
     fdx, fdy = _mv_dxdy(move)
     enc_new = _enc_pos(acx + fdx, acy + fdy)
     full = rpc == 4
-    base = [jnp.where(full, rp[k + 1], rp[k]) for k in range(3)] + [rp[3]]
-    slot = jnp.where(full, 3, rpc)
-    rp_out = [
-        jnp.where(slot == k, enc_new, base[k]) for k in range(4)
-    ]
-    return move, rp_out, jnp.zeros_like(rph), jnp.minimum(rpc + 1, 4), mq_out
+    base = jnp.where(full, (rp_pk >> 8) & 0x00FFFFFF, rp_pk)
+    slot8 = 8 * jnp.where(full, 3, rpc)
+    rp_out = (base & ~(255 << slot8)) | (enc_new << slot8)
+    return move, rp_out, jnp.minimum(rpc + 1, 4), mq_out

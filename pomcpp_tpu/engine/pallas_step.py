@@ -368,7 +368,9 @@ def _step_block(board, hidden, ftimer, bp, ax, ay, abc, amb, ast, akick,
         )
         move = base & (enterable | vac | ouro_enter)
 
-    # Kicks (write the packed dir field).
+    # Kicks (write the packed dir field).  stepped_on_bomb feeds the idle
+    # bomb phase's revert trigger (phase-1 read reused, r5).
+    stepped_on_bomb = move & bomb_at_dest
     kick = move & (akick != 0) & bomb_at_dest
     for i in range(4):
         sel = oh_dest[i] & kick[:, i : i + 1]
@@ -596,14 +598,25 @@ def _step_block(board, hidden, ftimer, bp, ax, ay, abc, amb, ast, akick,
 
     def idle_bomb_phase(carry):
         """No sliding bombs: the only phase-2 effect is bouncing walkers
-        off bombs they stepped on.  A bomb sits under an agent exactly when
-        its timer > 0 at the agent's cell (the board shows the agent), so
-        one packed position read replaces the blocked/target machinery."""
+        off bombs they stepped on.  The trigger is phase 1's
+        ``move & bomb_at_dest`` verbatim (r5): in the idle phase no bomb
+        moved and fresh plants sit under their (non-moving) planters, so
+        the pre-move destination read still describes the board -- the
+        occupancy-mask build and the read_bits packed reduction the r4
+        gate paid are free here."""
         board, bp, ac_ = carry
-        agent_moved = ac_ != old_ac
-        relevant = alive2 & directional_move & agent_moved
-        board, ac_, bp, _ = gated_revert(
-            board, ac_, bp, bp_timer(bp) > 0, relevant, no_moving=True
+        trigger = stepped_on_bomb.astype(I32)
+        fired = jnp.any(trigger != 0)
+
+        def taken(c):
+            board, ac_, bp = c
+            board, ac_, bp = revert_chain(board, ac_, bp, trigger,
+                                          no_moving=True)
+            board = restore_bomb_items(board, ac_, bp)
+            return board, ac_, bp
+
+        board, ac_, bp = jax.lax.cond(
+            fired, taken, lambda c: c, (board, ac_, bp)
         )
         return board, bp, ac_, jnp.zeros((block, LANES), I32)
 
@@ -866,6 +879,13 @@ def _chunk_kernel(seed_ref, *refs, steps: int, n_moves: int = 6,
         # inject_reset (pre-generated fresh terrain planes).
         pltpu.prng_seed(seed_ref[0], pl.program_id(0))
 
+    def merge_fresh(state, done):
+        """Replace done boards' rows with fresh state (14 selects)."""
+        fr = fresh() if callable(fresh) else fresh
+        return tuple(
+            jnp.where(done != 0, f, c) for f, c in zip(fr, state)
+        )
+
     def body(i, carry):
         if inject and not prng_rand:
             drawn = moves_in[pl.dslice(i, 1), :, :][0]
@@ -873,18 +893,26 @@ def _chunk_kernel(seed_ref, *refs, steps: int, n_moves: int = 6,
             bits = pltpu.prng_random_bits((block, LANES))
             pos = (pltpu.bitcast(bits, jnp.int32) >> 1) & 0x3FFFFFFF
             drawn = pos[:, :4] % (5 if simple else n_moves)
+        # HEAD-position reset merge (r5): the selects applying the
+        # PREVIOUS step's done mask sit in the same iteration as their
+        # consumers, so Mosaic fuses them into the step DAG; the old
+        # tail-position merge fed the next iteration through the loop
+        # carry and compiled as a separate full rewrite pass of every
+        # array (~3.5 us/block-step, attribution skip=reset).
+        carry, done_prev = carry[:-1], carry[-1]
+        if auto_reset and "reset" not in _SKIP:
+            carry = merge_fresh(carry, done_prev)
         game = carry[:11]
         if simple:
             from .pallas_fsm import fsm_block
 
             (board, hidden, ftimer, bpp,
              ax, ay, abc, amb, ast, akick, adead) = game
-            fsm = carry[11:]
-            moves, rp2, rph2, rpc2, mq2 = fsm_block(
+            rp_pk, rpc, mq_pk = carry[11:14]
+            moves, rp_pk2, rpc2, mq_pk2 = fsm_block(
                 board, bpp & 15, (bpp >> 4) & 63,
                 ax + BOARD_SIZE * ay, abc, amb,
-                adead, drawn,
-                list(fsm[0:4]), fsm[4], fsm[5], list(fsm[6:10]),
+                adead, drawn, rp_pk, rpc, mq_pk,
             )
             if inject_slots:
                 ov = moves_in[pl.dslice(i, 1), :, :][0]
@@ -897,35 +925,30 @@ def _chunk_kernel(seed_ref, *refs, steps: int, n_moves: int = 6,
                 # but keep the FSM's value for non-override lanes exactly.
                 moves = jnp.where(is_ov, ov, moves)
             moves = jnp.where(adead != 0, 0, moves)
-            fsm_new = tuple(rp2) + (rph2, rpc2) + tuple(mq2)
+            fsm_new = (rp_pk2, rpc2, mq_pk2)
         else:
             moves = drawn
             fsm_new = ()
         game = _step_block(*game, moves)
         carry = tuple(game) + fsm_new
 
-        # Auto-reset finished boards (<= 1 agent alive); board regeneration
-        # is skipped entirely when no board in the block finished.
+        # Auto-reset finished boards (<= 1 agent alive).  Dead-count via
+        # 4-lane ROTATIONS, not jnp.sum (r5): every column receives the
+        # total through pure element-wise adds, so no cross-lane
+        # reduction; the [block,1] slice feeds the merge predicates.
         adead = game[10]
-        alive = 4 - jnp.sum(adead, axis=1, keepdims=True)
-        done = alive <= 1  # [block, 1]
+
+        def r4_(a, k):
+            return jnp.concatenate([a[:, k:], a[:, :k]], axis=1)
+
+        deadcnt = adead + r4_(adead, 1) + r4_(adead, 2) + r4_(adead, 3)
+        done = (deadcnt[:, :1] >= 3).astype(I32)  # [block, 1]
 
         if record:
             rec_refs[0][pl.dslice(i, 1), :, :] = moves[None]
-            rec_refs[1][pl.dslice(i, 1), :, :] = done.astype(I32)[None]
+            rec_refs[1][pl.dslice(i, 1), :, :] = done[None]
 
-        if not auto_reset or "reset" in _SKIP:
-            return carry
-
-        # UNCONDITIONAL merge (r5): with 128 boards/block some board
-        # finishes nearly every step, so the old jnp.any(done) +
-        # lax.cond fired almost always -- and a cond over the 21-array
-        # carry measured ~4 us/block-step (attribution skip=reset:
-        # 136 ms of 628), an order more than the ~25 select ops it
-        # guarded.  The straight-line merge pays only the selects.
-        return tuple(
-            jnp.where(done, f, c) for f, c in zip(fresh, carry)
-        )
+        return carry + (done,)
 
     if auto_reset:
         # Fresh replacement boards are drawn ONCE per chunk, not per step:
@@ -935,30 +958,65 @@ def _chunk_kernel(seed_ref, *refs, steps: int, n_moves: int = 6,
         # different steps of one chunk share a layout only if the SAME row
         # resets twice within 64 steps (rare; the layout is still random
         # across rows and chunks).
-        if inject_reset:
-            f14 = _fresh_boards(block, reset_in[0][:], reset_in[1][:])
+        def make_fresh():
+            if inject_reset:
+                f14 = _fresh_boards(block, reset_in[0][:], reset_in[1][:])
+            else:
+                f14 = _fresh_boards(block)
+            # Fresh boards have no bombs: the packed plane is the zero
+            # plane (f14 carries four separate zero planes; keep one).
+            fr = f14[:3] + (f14[3],) + f14[7:]
+            if simple:
+                # Ring slots reset to encoded (0,0) = _RP_STALE in every
+                # BYTE of the packed ring word -- see
+                # simple_fsm_state_init (stale-slot reads in _HasRPLoop).
+                rp_pk0 = jnp.full((block, 4), _RP_STALE * 0x01010101, I32)
+                z4 = jnp.zeros((block, 4), I32)
+                fr = fr + (rp_pk0, z4, z4)
+            return fr
+
+        # PALLAS_FRESH_PER_STEP=1: regenerate the replacement boards
+        # inside every step instead of hoisting one set per chunk --
+        # probes whether the hoisted planes' loop-long VMEM residency is
+        # what the skip=reset attribution charges (r5 experiment knob).
+        if _os.environ.get("PALLAS_FRESH_PER_STEP", "0") == "1":
+            fresh = make_fresh
         else:
-            f14 = _fresh_boards(block)
-        # Fresh boards have no bombs: the packed plane is the zero
-        # plane (f14 carries four separate zero planes; keep one).
-        fresh = f14[:3] + (f14[3],) + f14[7:]
-        if simple:
-            # Ring slots reset to encoded (0,0), not 0 -- see
-            # simple_fsm_state_init (stale-slot reads in _HasRPLoop).
-            rp = jnp.full((block, 4), _RP_STALE, I32)
-            fresh = fresh + (rp, rp, rp, rp) + tuple(
-                jnp.zeros((block, 4), I32) for _ in range(6)
-            )
+            fresh = make_fresh()
 
     full = tuple(r[:] for r in state_in)
     # Pack the four bomb planes ONCE per chunk; the loop carries the packed
     # plane and _step_block consumes/produces it directly.
     bp0 = full[3] + (full[4] << 4) + (full[5] << 10) + (full[6] << 13)
-    carry = full[:3] + (bp0,) + full[7:]
+    carry = full[:3] + (bp0,) + full[7:11 + 3]
+    if simple:
+        # FSM state packed ONCE per chunk (r5): ring slots as bytes of
+        # one word (codes <= 168), moveQueue slots as nibbles, and the
+        # constant-zero ring head dropped -- the loop carry shrinks from
+        # 21 to 14 arrays (less carry churn + a narrower reset merge).
+        g11 = full[:3] + (bp0,) + full[7:14]
+        rp0, rp1, rp2_, rp3, _rph, rpc0, mq0, mq1, mq2_, mq3 = full[14:24]
+        rp_pk = rp0 | (rp1 << 8) | (rp2_ << 16) | (rp3 << 24)
+        mq_pk = mq0 | (mq1 << 4) | (mq2_ << 8) | (mq3 << 12)
+        carry = g11 + (rp_pk, rpc0, mq_pk)
+    # The head-position merge consumes the PREVIOUS step's done mask from
+    # the carry; the first iteration sees no-board-done, and the LAST
+    # step's mask is applied once after the loop.
+    carry = carry + (jnp.zeros((block, 1), I32),)
     carry = jax.lax.fori_loop(0, steps, body, carry)
+    carry, done_last = carry[:-1], carry[-1]
+    if auto_reset and "reset" not in _SKIP:
+        carry = merge_fresh(carry, done_last)
     bp = carry[3]
     out = (carry[:3] + (bp & 15, (bp >> 4) & 63, (bp >> 10) & 7,
-                        (bp >> 13) & 3) + carry[4:])
+                        (bp >> 13) & 3) + carry[4:11])
+    if simple:
+        rp_pk, rpc_o, mq_pk = carry[11:14]
+        out = out + tuple(
+            ((rp_pk >> (8 * k)) & 255) for k in range(4)
+        ) + (jnp.zeros_like(rpc_o), rpc_o) + tuple(
+            ((mq_pk >> (4 * k)) & 7) for k in range(4)
+        )
     for ref, val in zip(state_out, out):
         ref[:] = val
 
