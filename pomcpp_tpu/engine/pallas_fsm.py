@@ -243,7 +243,7 @@ def swar_bfs(board, ac, valid, alive=None):
     # UNROLL rounds per body amortizes that overhead; rounds after
     # convergence are exact no-ops (the wave is stable), so the only
     # waste is up to UNROLL-1 idle rounds at the end.
-    UNROLL = int(_os.environ.get("FSM_BFS_UNROLL", "4"))
+    UNROLL = int(_os.environ.get("FSM_BFS_UNROLL", "2"))
 
     # Round-invariant fold (r4): new-visit candidates are masked by ONE
     # precomputed plane, and an unvisited cell's whole 3-bit field is 000
@@ -286,7 +286,7 @@ def swar_bfs(board, ac, valid, alive=None):
     # skips ceil(PREFIX/UNROLL) body overheads (~650 ns each: scalar
     # round trip + cross-lane any -- about half the measured BFS time at
     # UNROLL=4).
-    PREFIX = int(_os.environ.get("FSM_BFS_PREFIX", "16"))
+    PREFIX = int(_os.environ.get("FSM_BFS_PREFIX", "24"))
     # FSM_BFS_FIXED=N (profiling only): run exactly ceil(N/UNROLL)
     # bodies, no convergence check -- isolates per-round cost vs count.
     _fixed = int(_os.environ.get("FSM_BFS_FIXED", "0"))

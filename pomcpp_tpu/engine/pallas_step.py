@@ -879,6 +879,16 @@ def _chunk_kernel(seed_ref, *refs, steps: int, n_moves: int = 6,
         # inject_reset (pre-generated fresh terrain planes).
         pltpu.prng_seed(seed_ref[0], pl.program_id(0))
 
+    def _finished_mask(adead):
+        """i32[block,1]: board finished (<= 1 agent alive).  Dead-count
+        via 4-lane rotations -- pure element-wise, no cross-lane
+        reduction."""
+        def r4_(a, k):
+            return jnp.concatenate([a[:, k:], a[:, :k]], axis=1)
+
+        deadcnt = adead + r4_(adead, 1) + r4_(adead, 2) + r4_(adead, 3)
+        return (deadcnt[:, :1] >= 3).astype(I32)
+
     def merge_fresh(state, done):
         """Replace done boards' rows with fresh state (14 selects)."""
         fr = fresh() if callable(fresh) else fresh
@@ -893,15 +903,31 @@ def _chunk_kernel(seed_ref, *refs, steps: int, n_moves: int = 6,
             bits = pltpu.prng_random_bits((block, LANES))
             pos = (pltpu.bitcast(bits, jnp.int32) >> 1) & 0x3FFFFFFF
             drawn = pos[:, :4] % (5 if simple else n_moves)
-        # HEAD-position reset merge (r5): the selects applying the
-        # PREVIOUS step's done mask sit in the same iteration as their
-        # consumers, so Mosaic fuses them into the step DAG; the old
-        # tail-position merge fed the next iteration through the loop
-        # carry and compiled as a separate full rewrite pass of every
-        # array (~3.5 us/block-step, attribution skip=reset).
+        # PIPELINED reset merge (r5): the mask applied at the head of
+        # step t was computed at the head of step t-1 from the carried
+        # adead, giving the done -> merge data edge one full step of
+        # slack instead of tying every step's start to the previous
+        # step's explosion-phase kill reduction.  Measured worth ~6-10
+        # ms/4chunks on each config (CAUTION for future attribution:
+        # skip=reset / never-reset diagnostics looked like ~120 ms, but
+        # they CHANGE THE WORKLOAD -- boards that never reset fill up
+        # with dead agents, whose pruned BFS waves and quiet bomb
+        # phases converge faster; most of that delta is population
+        # drift, not reset cost).  The cost of the slack is reset
+        # LATENCY 2: a board finishing during step t is replaced at the
+        # head of t+2, i.e. it plays one inert extra step per episode
+        # (~0.25%% of steps at episode length ~400); the catch-up merge
+        # after the loop keeps the CHUNK OUTPUT fully reset, so chunk
+        # callers observe the same contract as before.  (The env-layer
+        # auto-reset -- env_step_auto_reset, what PPO trains through --
+        # is unchanged: it calls the kernel with auto_reset=False and
+        # latches done itself.)
         carry, done_prev = carry[:-1], carry[-1]
         if auto_reset and "reset" not in _SKIP:
             carry = merge_fresh(carry, done_prev)
+            done_next = _finished_mask(carry[10])
+        else:
+            done_next = done_prev
         game = carry[:11]
         if simple:
             from .pallas_fsm import fsm_block
@@ -932,23 +958,14 @@ def _chunk_kernel(seed_ref, *refs, steps: int, n_moves: int = 6,
         game = _step_block(*game, moves)
         carry = tuple(game) + fsm_new
 
-        # Auto-reset finished boards (<= 1 agent alive).  Dead-count via
-        # 4-lane ROTATIONS, not jnp.sum (r5): every column receives the
-        # total through pure element-wise adds, so no cross-lane
-        # reduction; the [block,1] slice feeds the merge predicates.
-        adead = game[10]
-
-        def r4_(a, k):
-            return jnp.concatenate([a[:, k:], a[:, :k]], axis=1)
-
-        deadcnt = adead + r4_(adead, 1) + r4_(adead, 2) + r4_(adead, 3)
-        done = (deadcnt[:, :1] >= 3).astype(I32)  # [block, 1]
-
         if record:
+            # End-of-step doneness for the test replay hooks (tail
+            # compute; record mode is interpret/test-only).
             rec_refs[0][pl.dslice(i, 1), :, :] = moves[None]
-            rec_refs[1][pl.dslice(i, 1), :, :] = done[None]
+            rec_refs[1][pl.dslice(i, 1), :, :] = \
+                _finished_mask(game[10])[None]
 
-        return carry + (done,)
+        return carry + (done_next,)
 
     if auto_reset:
         # Fresh replacement boards are drawn ONCE per chunk, not per step:
@@ -999,14 +1016,22 @@ def _chunk_kernel(seed_ref, *refs, steps: int, n_moves: int = 6,
         rp_pk = rp0 | (rp1 << 8) | (rp2_ << 16) | (rp3 << 24)
         mq_pk = mq0 | (mq1 << 4) | (mq2_ << 8) | (mq3 << 12)
         carry = g11 + (rp_pk, rpc0, mq_pk)
-    # The head-position merge consumes the PREVIOUS step's done mask from
-    # the carry; the first iteration sees no-board-done, and the LAST
-    # step's mask is applied once after the loop.
-    carry = carry + (jnp.zeros((block, 1), I32),)
-    carry = jax.lax.fori_loop(0, steps, body, carry)
-    carry, done_last = carry[:-1], carry[-1]
+    # Pipelined mask (see body): seed with the INITIAL state's mask so
+    # boards entering the chunk already finished reset at step 0, and
+    # catch up with TWO merges after the loop (the pipeline leaves
+    # boards finishing in the last two steps unmerged) -- chunk callers
+    # observe fully-reset output exactly as before.
     if auto_reset and "reset" not in _SKIP:
-        carry = merge_fresh(carry, done_last)
+        carry = carry + (_finished_mask(carry[10]),)
+    else:
+        carry = carry + (jnp.zeros((block, 1), I32),)
+    carry = jax.lax.fori_loop(0, steps, body, carry)
+    carry = carry[:-1]
+    if auto_reset and "reset" not in _SKIP:
+        # One catch-up merge: the final state's own mask covers every
+        # board the pipeline left unreset (those finishing in the last
+        # two steps).
+        carry = merge_fresh(carry, _finished_mask(carry[10]))
     bp = carry[3]
     out = (carry[:3] + (bp & 15, (bp >> 4) & 63, (bp >> 10) & 7,
                         (bp >> 13) & 3) + carry[4:11])
