@@ -25,7 +25,10 @@ import jax
 
 BASELINE_STEPS_PER_S = 5_863_320.0
 BATCH = 16384
-CHUNK = 64  # steps per device call
+CHUNK = 256  # steps per device call (r5: longer chunks amortize chunk-
+             # boundary work -- launch, state pack/unpack, fresh-board
+             # gen; 64 -> 128 -> 256 measured +4-8% each on every
+             # config; 512 crashes the remote compile helper)
 ROUNDS = 3  # best-of rounds; the first round is coldest (pipeline + board
             # mix), and scripts/bench_chunk.py's 3-round protocol is the
             # one the ledger numbers come from

@@ -145,7 +145,7 @@ def danger_map_tile(btimer, bstr, valid):
     return jnp.where(danger == _BIGD, 0, danger)
 
 
-def swar_bfs(board, ac, valid, alive=None):
+def swar_bfs(board, ac, valid, alive=None, pmQ=None):
     """4-agent BFS -> fr: byte-packed (vis | rank << 1) 3-bit fields.
 
     Byte i of the returned [block, LANES] plane holds agent i's raw BFS
@@ -231,7 +231,8 @@ def swar_bfs(board, ac, valid, alive=None):
     # NO in-loop override (the r4 nrs/sav masks cost 3 ops/direction/
     # round).  Fields are 3 bits apart and 1+2*rank <= 7, so the constant
     # multiply is carry-free (= per-field OR of vis|rank bits).
-    pmQ = _push_masks(Q)
+    if pmQ is None or Q != next(iter(pmQ.values()))[1].shape[0]:
+        pmQ = _push_masks(Q)
     srk = {}
     for rank, mv in enumerate(_PRIORITY):
         srk[mv] = src_p * (1 + 2 * rank)
@@ -359,7 +360,7 @@ def _enc_pos(px, py):
 
 
 def fsm_block(board, btimer, bstr, ac, abc, amb, adead, rand,
-              rp_pk, rpc, mq_pk):
+              rp_pk, rpc, mq_pk, inv=None):
     """SimpleAgent joint act on kernel tiles.
 
     ``rand``: i32[block,4] in [0,5) (one draw per agent-act, like
@@ -371,9 +372,14 @@ def fsm_block(board, btimer, bstr, ac, abc, amb, adead, rand,
     from 10 FSM arrays to 3.  Returns (moves, rp_pk', rpc', mq_pk').
     """
     block = board.shape[0]
-    lane = _lane_iota(block)
+    inv = inv or {}
+    lane = inv.get("lane")
+    if lane is None:
+        lane = _lane_iota(block)
     lane4 = _iota4(block)
-    valid = lane < NUM_CELLS
+    valid = inv.get("valid")
+    if valid is None:
+        valid = lane < NUM_CELLS
     lx = lane % BOARD_SIZE
     ly = lane // BOARD_SIZE
     walk1 = _is_walkable_t(board) & valid
@@ -393,7 +399,7 @@ def fsm_block(board, btimer, bstr, ac, abc, amb, adead, rand,
     if "fsm_bfs" in _SKIP:
         fr_pl = jnp.zeros((block, LANES), I32)  # nothing visited
     else:
-        fr_pl = swar_bfs(board, ac, valid, alive)
+        fr_pl = swar_bfs(board, ac, valid, alive, pmQ=inv.get("pmQ"))
 
     oh_ac = [lane == ac[:, i : i + 1] for i in range(4)]
 

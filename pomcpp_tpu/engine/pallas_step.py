@@ -245,7 +245,7 @@ _SKIP = frozenset(
 
 
 def _step_block(board, hidden, ftimer, bp, ax, ay, abc, amb, ast, akick,
-                adead, moves):
+                adead, moves, inv=None):
     """One full step on a [BLOCK, LANES] tile set.  All i32 except noted.
 
     ``bp`` is the PACKED bomb plane (timer bits [0,4), strength [4,10),
@@ -255,8 +255,14 @@ def _step_block(board, hidden, ftimer, bp, ax, ay, abc, amb, ast, akick,
     i32.  Returns the same structure.
     """
     block = board.shape[0]
-    valid = _valid_mask(block)
-    pm = _push_masks(block)  # hoisted dist-1 push masks (Mosaic won't CSE)
+    # Loop-invariant mask planes: taken from the chunk prologue when the
+    # caller provides them (r5: computed ONCE per chunk instead of per
+    # step -- Mosaic neither CSEs nor hoists the iota chains).
+    inv = inv or {}
+    valid = inv.get("valid")
+    if valid is None:
+        valid = _valid_mask(block)
+    pm = inv.get("pm") or _push_masks(block)
 
     # ---- Phase 0: flames --------------------------------------------------
     ftimer = jnp.maximum(ftimer - 1, 0)
@@ -277,7 +283,9 @@ def _step_block(board, hidden, ftimer, bp, ax, ay, abc, amb, ast, akick,
         return (board, hidden, ftimer, bp,
                 ax, ay, abc, amb, ast, akick, adead)
     alive = adead == 0
-    lane = _lane_iota(block)
+    lane = inv.get("lane")
+    if lane is None:
+        lane = _lane_iota(block)
     lane4 = jax.lax.broadcasted_iota(I32, (block, 4), 1)
 
     def rot4(a, k):
@@ -879,6 +887,13 @@ def _chunk_kernel(seed_ref, *refs, steps: int, n_moves: int = 6,
         # inject_reset (pre-generated fresh terrain planes).
         pltpu.prng_seed(seed_ref[0], pl.program_id(0))
 
+    inv_masks = {
+        "pm": _push_masks(block),
+        "lane": _lane_iota(block),
+        "valid": _valid_mask(block),
+        "pmQ": _push_masks(block // 2) if block % 2 == 0 else None,
+    }
+
     def _finished_mask(adead):
         """i32[block,1]: board finished (<= 1 agent alive).  Dead-count
         via 4-lane rotations -- pure element-wise, no cross-lane
@@ -938,7 +953,7 @@ def _chunk_kernel(seed_ref, *refs, steps: int, n_moves: int = 6,
             moves, rp_pk2, rpc2, mq_pk2 = fsm_block(
                 board, bpp & 15, (bpp >> 4) & 63,
                 ax + BOARD_SIZE * ay, abc, amb,
-                adead, drawn, rp_pk, rpc, mq_pk,
+                adead, drawn, rp_pk, rpc, mq_pk, inv=inv_masks,
             )
             if inject_slots:
                 ov = moves_in[pl.dslice(i, 1), :, :][0]
@@ -955,7 +970,7 @@ def _chunk_kernel(seed_ref, *refs, steps: int, n_moves: int = 6,
         else:
             moves = drawn
             fsm_new = ()
-        game = _step_block(*game, moves)
+        game = _step_block(*game, moves, inv=inv_masks)
         carry = tuple(game) + fsm_new
 
         if record:
