@@ -121,6 +121,7 @@ def phase_replay() -> int:
 
     from pomcpp_tpu.core.constants import (
         C_AGENT0,
+        C_BOMB,
         C_PASSAGE,
         C_RIGID,
         C_WOOD,
@@ -253,21 +254,30 @@ def phase_replay() -> int:
         return 1
     print("PASS: mixed-control (inject_slots) kernel == XLA composition")
 
+    # Pipelined reset (r5): a board entering the chunk finished resets at
+    # the HEAD of step 0 and the fresh board then PLAYS that step -- the
+    # output is a healthy one-step-old game, not a pristine snapshot:
+    # all four agents alive (no flames exist on a fresh board, so one
+    # step cannot kill), each within one move of its corner, terrain
+    # untouched except possible plants, and no flames yet.
     board = data["fresh_board"]
     ok = bool((data["fresh_agent_dead"] == 0).all())
     ok &= bool((data["fresh_alive_count"] == 4).all())
-    corner_cells = [0, 10, 120, 110]
-    for i, c in enumerate(corner_cells):
-        ok &= bool((board[:, c] == C_AGENT0 + i).all())
-    interior = np.ones(121, bool)
-    interior[corner_cells] = False
-    ok &= set(np.unique(board[:, interior])) <= {C_PASSAGE, C_RIGID, C_WOOD}
-    ok &= bool((data["fresh_bomb_timer"] == 0).all())
+    corners = [(0, 0), (10, 0), (10, 10), (0, 10)]
+    ax, ay = data["fresh_agent_x"], data["fresh_agent_y"]
+    for i, (cx, cy) in enumerate(corners):
+        manh = np.abs(ax[:, i] - cx) + np.abs(ay[:, i] - cy)
+        ok &= bool((manh <= 1).all())
+    allowed = {C_PASSAGE, C_RIGID, C_WOOD, C_BOMB,
+               C_AGENT0, C_AGENT0 + 1, C_AGENT0 + 2, C_AGENT0 + 3}
+    ok &= set(np.unique(board)) <= allowed
+    ok &= set(np.unique(data["fresh_bomb_timer"])) <= {0, 10}
     ok &= bool((data["fresh_flame_timer"] == 0).all())
     if not ok:
-        print("FAIL: auto-reset did not produce fresh corner-start boards")
+        print("FAIL: auto-reset did not produce fresh (one-step-old) boards")
         return 1
-    print("PASS: auto-reset produces fresh corner-start boards")
+    print("PASS: auto-reset produces fresh boards (played one step, "
+          "pipelined-reset semantics)")
     return 0
 
 
