@@ -17,8 +17,8 @@ pure AND/OR/shift, ~40% fewer ops than the compare-select distance
 version it replaced (r3).  Direction priority (DOWN, UP, RIGHT, LEFT --
 the reference's TryAdd order, strategy.cpp:82-89) is preserved by
 expanding directions sequentially with first-writer-wins, exactly like
-strategy/cellular_toolkit.fill_reach_map; root labels ride in a second
-byte-packed plane.
+strategy/cellular_toolkit.fill_reach_map; root-rank labels ride in the
+same packed field (vis | rank << 1 per agent).
 
 Equivalence with simple_agent_cell_joint (same rand stream) is asserted in
 tests/test_pallas_fsm.py (interpret mode).
@@ -63,8 +63,6 @@ _BYTE = 0xFF
 # BFS combined-plane 3-bit fields: bit 3i = visited(agent i), bits
 # [3i+1, 3i+3) = root rank.
 _VIS3 = np.int32(0b001001001001)
-_RANK3 = np.int32(0b110110110110)
-_VR4 = np.int32(0x04040404)  # bit 2 of each byte: vis flag in vis|rank reads
 
 # BFS relaxation priority = reference TryAdd order (strategy.cpp:82-89):
 # DOWN, UP, RIGHT, LEFT; rank r encodes the root move with that priority.
@@ -160,11 +158,6 @@ def swar_bfs(board, ac, valid, alive=None, pmQ=None):
     letting the block-max convergence loop stop at the LIVE waves' extent
     (a dead agent's stale source on a reverted-to-passage cell otherwise
     expands a full wave of its own).
-
-    V byte i: 0xFF iff the cell is reached from agent i (the SOURCE cell
-    itself included).  R byte i: root rank (index into _RANK_TO_MOVE) of
-    the first move from agent i's cell on the shortest path; only
-    meaningful where V is set and the cell is not the source.
 
     The FSM consumes BFS results ONLY through reachability predicates and
     root ranks (fsm_block reads ``df != 0 && df < 0x7E`` and the rank --
