@@ -55,3 +55,28 @@ def test_exhaustive_three_agent_full_alphabet(name):
     """6^3 x 6^3 sweep with plants on the remaining two scenarios (the
     fast tier covers train_kick, test_exhaustive_3agent.py:138)."""
     _run_sweep(name + "+bombs", _scenarios()[name], 6)
+
+
+@pytest.mark.parametrize("seed,snap", [(120, 35), (147, 35), (176, 35)])
+def test_randomized_state_exhaustive_sweep(seed, snap):
+    """Randomized-state fuzz tier (r5): snapshot a random exact-engine
+    trajectory mid-game (flames, revealed powerups, kicked bombs in
+    flight, heterogeneous stats -- none of which the hand-built sweep
+    scenarios contain), inject it into the compiled reference, and sweep
+    all 5^6 two-step joint moves of three live agents.  Deeper runs:
+    scripts/state_fuzz.py."""
+    import importlib.util
+
+    spec = importlib.util.spec_from_file_location(
+        "state_fuzz",
+        __import__("os").path.join(
+            __import__("os").path.dirname(__file__), "..", "scripts",
+            "state_fuzz.py",
+        ),
+    )
+    sf = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(sf)
+    bad = sf.fuzz_one(seed, snap, 5)
+    if bad is None:
+        pytest.skip("snapshot has < 3 live agents")
+    assert bad == 0
