@@ -200,6 +200,8 @@ def swar_bfs(board, ac, valid, alive=None, pmQ=None):
     # bitwise fields make this free of carry/guard concerns; pack and
     # unpack are a handful of one-time ops.
     halves = 2 if block % 2 == 0 else 1
+    if _os.environ.get("FSM_BFS_HALVES", "") == "1":
+        halves = 1  # experiment knob: unpacked rounds on [block,128]
     Q = block // halves
     vis_m = _VIS3
     for h in range(1, halves):

@@ -49,20 +49,37 @@ def main() -> None:
     p.add_argument("--steps", type=int, default=800)
     p.add_argument("--batch", type=int, default=500)
     p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--policy", choices=["random", "simple"], default="random",
+                   help="simple = SimpleAgent FSM self-play (the realistic-"
+                        "policy census; random is the worst case)")
     args = p.parse_args()
 
+    from pomcpp_tpu.agents.simple_cellular import (
+        simple_agent_cell_joint,
+        simple_agent_init_batch,
+    )
     from pomcpp_tpu.core.board_gen import init_state_np
     from pomcpp_tpu.engine.cellular import CellState, cellular_step, from_state
     from pomcpp_tpu.engine.step import step
     from pomcpp_tpu.testing.divergence import divergence_classes
 
     cmp_fields = [f for f in CellState._fields if f != "timestep"]
+    simple = args.policy == "simple"
 
     @jax.jit
-    def census_step(s, c, key):
-        """One lockstep batch step: exact + cellular + per-board equality."""
-        mv = jax.random.randint(key, s.agent_x.shape[:1] + (4,), 0, 6,
-                                dtype=jnp.int32)
+    def census_step(s, c, key, ps):
+        """One lockstep batch step: exact + cellular + per-board equality.
+
+        Moves come from the in-batch PRNG (random census) or from the
+        SimpleAgent FSM acting on the SYNCED cellular state (both engines
+        then execute the identical joint move)."""
+        if simple:
+            keys = jax.random.split(key, s.agent_x.shape[0])
+            mv, ps = jax.vmap(simple_agent_cell_joint)(keys, c, ps)
+            mv = jnp.where(c.agent_dead, 0, mv).astype(jnp.int32)
+        else:
+            mv = jax.random.randint(key, s.agent_x.shape[:1] + (4,), 0, 6,
+                                    dtype=jnp.int32)
         s2 = jax.vmap(step)(s, mv)
         e2 = jax.vmap(from_state)(s2)
         c2 = jax.vmap(cellular_step)(c, mv)
@@ -73,7 +90,7 @@ def main() -> None:
                 if a.ndim > 1 else (a != b)
             eq = eq & ~d
         live = s.alive_count > 1
-        return s2, c2, eq, live, mv
+        return s2, c2, eq, live, mv, ps
 
     counts = {"1:stacked-plant": 0, "2:stale-plant-direction": 0,
               "3:multi-bomb-chain": 0, "4:multi-bomb-pileup": 0}
@@ -93,13 +110,17 @@ def main() -> None:
         kick = jnp.asarray([(g % 2) == 1 for g in range(b)])
         s = s._replace(agent_can_kick=jnp.broadcast_to(kick[:, None], (b, 4)))
         c = jax.vmap(from_state)(s)
+        ps = jax.tree.map(
+            lambda x: jnp.broadcast_to(x, (b,) + x.shape),
+            simple_agent_init_batch(),
+        )
         key = jax.random.PRNGKey(args.seed * 7919 + bi)
         synced = np.ones(b, bool)
 
         for t in range(args.steps):
             key, k = jax.random.split(key)
             s_pre = s
-            s, c, eq, live, mv = census_step(s, c, k)
+            s, c, eq, live, mv, ps = census_step(s, c, k, ps)
             live_np = np.asarray(live)
             neq = np.asarray(~eq) & live_np & synced
             total_live_steps += int((live_np & synced).sum())
@@ -133,6 +154,7 @@ def main() -> None:
               flush=True)
 
     out = {
+        "policy": args.policy,
         "games": args.games,
         "steps_cap": args.steps,
         "synced_live_board_steps": total_live_steps,
