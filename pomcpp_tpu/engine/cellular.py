@@ -51,7 +51,11 @@ constantly; scripted/trained policies do not):
    instead of depth-first with suspend/resume; visible only when two same-
    step rays compete for one wood cell or a chain re-orders flame overwrite.
 4. Simultaneous multi-chain bounce-backs and multi-bomb pileups resolve in
-   cell order rather than queue order.
+   cell order rather than queue order.  This includes the single-kick
+   variant (r5 census find): kicking a bomb into a cell whose next cell
+   holds a STATIONARY bomb — the reference's queue-windowed collision
+   scan leaves the kicker standing on the stopped bomb, while the
+   per-cell arrival count bounces the kicker back.
 """
 
 from __future__ import annotations

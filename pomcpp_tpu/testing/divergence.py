@@ -67,7 +67,14 @@ def divergence_classes(pre, mv, post_exact, pre_exact=None) -> list[str]:
     # 3: >=2 bombs exploded this step -> BFS-vs-DFS chain ordering.
     if np.sum((pre_bt > 0) & (post_bt == 0)) >= 2:
         classes.append("3:multi-bomb-chain")
-    # 4: >=2 bombs moving/kicked this step -> pileup ordering (cell vs queue).
+    # 4: bomb PILEUP ordering (cell-order counting vs the reference's
+    # queue-windowed scan).  Preconditions: (a) >=2 bombs moving/kicked
+    # this step, or (b) a single kicked bomb whose slide target already
+    # holds a STATIONARY bomb -- the reference's windowed
+    # HasBombCollision/ResolveBombCollision leaves the kicker standing
+    # on the stopped bomb in configurations where the cellular per-cell
+    # arrival count bounces it (found by the r5 SimpleAgent-policy
+    # census: FSM agents kick their own fresh bombs into bomb columns).
     pre_moving = np.asarray(pre.bomb_dir) != 0
     dx = np.array([0, 0, 0, -1, 1])[np.clip(mv, 0, 4)] * (mv <= 4)
     dy = np.array([0, -1, 1, 0, 0])[np.clip(mv, 0, 4)] * (mv <= 4)
@@ -82,4 +89,14 @@ def divergence_classes(pre, mv, post_exact, pre_exact=None) -> list[str]:
     )
     if np.sum(pre_moving) + np.sum(kick_cand) >= 2:
         classes.append("4:multi-bomb-pileup")
+    else:
+        # (b): the kicked bomb's own slide target (one further along the
+        # kick direction, when in bounds) holds another bomb.
+        for i in range(4):
+            if not kick_cand[i]:
+                continue
+            bx, by = tx[i] + dx[i], ty[i] + dy[i]
+            if 0 <= bx <= 10 and 0 <= by <= 10 and pre_bt[bx + 11 * by] > 0:
+                classes.append("4:multi-bomb-pileup")
+                break
     return classes
