@@ -7,9 +7,12 @@ checkpoint is just the flattened leaves.
 
 Default format: a single ``.npz`` of the leaves in treedef order (restored
 against a template tree).  This is synchronous, dependency-free and robust
-in sandboxed single-host environments; orbax (async, sharding-aware,
-multi-host) is available via ``backend="orbax"`` for pod-slice training --
-its async commit barriers time out in this container, so it is opt-in.
+in sandboxed single-host environments; orbax (sharding-aware, multi-host)
+is available via ``backend="orbax"`` for pod-slice training.  The orbax
+path uses the SYNCHRONOUS ``Checkpointer`` -- the async
+``StandardCheckpointer`` commit barrier wedges in sandboxed containers
+(r5: the sync handler round-trips fine, so orbax is now tested in CI
+rather than self-skipping).
 """
 
 from __future__ import annotations
@@ -29,7 +32,12 @@ def save_checkpoint(path: str, tree: Any, backend: str = "npz") -> None:
     if backend == "orbax":
         import orbax.checkpoint as ocp
 
-        ocp.StandardCheckpointer().save(path, tree, force=True)
+        ckptr = ocp.Checkpointer(ocp.StandardCheckpointHandler())
+        if os.path.exists(path):
+            import shutil
+
+            shutil.rmtree(path)
+        ckptr.save(path, args=ocp.args.StandardSave(tree))
         return
     os.makedirs(path, exist_ok=True)
     leaves = jax.tree.leaves(tree)
@@ -54,7 +62,10 @@ def restore_checkpoint(path: str, template: Any, backend: str = "npz") -> Any:
     if backend == "orbax":
         import orbax.checkpoint as ocp
 
-        restored = ocp.StandardCheckpointer().restore(path, template)
+        ckptr = ocp.Checkpointer(ocp.StandardCheckpointHandler())
+        restored = ckptr.restore(
+            path, args=ocp.args.StandardRestore(template)
+        )
         return jax.tree.map(lambda t, r: r, template, restored)
     data = np.load(os.path.join(path, _NPZ))
     leaves, treedef = jax.tree.flatten(template)

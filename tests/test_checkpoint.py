@@ -57,45 +57,23 @@ def test_replay_roundtrip(tmp_path):
     assert "t=" in out
 
 
-@pytest.mark.slow
-def test_orbax_roundtrip_if_available():
-    """Opt-in orbax backend round-trip; skips if the container's async
-    barriers wedge (known limitation documented in utils/checkpoint.py)."""
-    import subprocess
-    import sys
+def test_orbax_roundtrip():
+    """The orbax backend (sync Checkpointer, r5 -- the async
+    StandardCheckpointer commit barrier wedges in sandboxed containers)
+    round-trips a TrainState like the npz default."""
     import tempfile
 
-    code = """
-import jax; jax.config.update("jax_platforms", "cpu")
-import jax.numpy as jnp
-from pomcpp_tpu.utils.checkpoint import save_checkpoint, restore_checkpoint
-import sys
-d = sys.argv[1]
-tree = {"a": jnp.arange(6.0), "b": {"c": jnp.ones((2, 3), jnp.int32)}}
-save_checkpoint(d, tree, backend="orbax")
-out = restore_checkpoint(d, jax.tree.map(jnp.zeros_like, tree), backend="orbax")
-assert float(out["a"][3]) == 3.0 and int(out["b"]["c"][1, 2]) == 1
-print("ORBAX_OK")
-"""
-    import os
+    import numpy as np
 
+    ts = ppo_init(jax.random.PRNGKey(5), PPOConfig(rollout_len=4))
+    ts = ts._replace(update_count=jnp.asarray(11, jnp.int32))
     d = tempfile.mkdtemp() + "/ck"
-    env = dict(
-        os.environ,
-        PYTHONPATH=os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
-        + ":" + os.environ.get("PYTHONPATH", ""),
-        JAX_PLATFORMS="cpu",
-    )
-    try:
-        r = subprocess.run(
-            [sys.executable, "-c", code, d], env=env,
-            capture_output=True, text=True, timeout=120,
-        )
-    except subprocess.TimeoutExpired:
-        pytest.skip("orbax async barriers wedge in this container")
-    if r.returncode != 0:
-        pytest.skip(f"orbax backend unavailable: {r.stderr[-300:]}")
-    assert "ORBAX_OK" in r.stdout
+    save_checkpoint(d, ts._asdict(), backend="orbax")
+    fresh = ppo_init(jax.random.PRNGKey(77), PPOConfig(rollout_len=4))
+    restored = restore_checkpoint(d, fresh._asdict(), backend="orbax")
+    assert int(restored["update_count"]) == 11
+    for a, b in zip(jax.tree.leaves(ts._asdict()), jax.tree.leaves(restored)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
 
 
 def test_artifact_checkpoint_matches_model_template():
