@@ -223,6 +223,13 @@ class _Deadline(Exception):
 def main() -> None:
     _watchdog()
 
+    # Serialize against any other TPU client on this host: the axon tunnel
+    # serves one client; a concurrent second client has wedged it (see
+    # pomcpp_tpu/utils/device_lock.py).  Held until process exit.
+    from pomcpp_tpu.utils.device_lock import hold_tpu_client_lock
+
+    hold_tpu_client_lock(timeout_s=600)
+
     # The fused kernel is the fastest path (~2.7M steps/s) but costs ~7.5 min
     # of first compile (no cache hit through the axon AOT helper); give it a
     # bounded shot and fall back to the XLA cellular path (~2 min total,

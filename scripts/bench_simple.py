@@ -9,6 +9,11 @@ import time
 
 import jax
 
+# Serialize against other TPU clients on this host (a concurrent
+# second client wedges the axon tunnel; see utils/device_lock.py).
+from pomcpp_tpu.utils.device_lock import hold_tpu_client_lock  # noqa: E402
+hold_tpu_client_lock()
+
 jax.config.update("jax_compilation_cache_dir", "/root/repo/build/jax_cache")
 jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 1)

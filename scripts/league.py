@@ -24,6 +24,10 @@ import sys
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
+# Serialize against other TPU clients on this host (a concurrent
+# second client wedges the axon tunnel; see utils/device_lock.py).
+from pomcpp_tpu.utils.device_lock import hold_tpu_client_lock  # noqa: E402
+
 import jax
 
 
@@ -46,6 +50,9 @@ def main() -> None:
     args = p.parse_args()
     if args.cpu:
         jax.config.update("jax_platforms", "cpu")
+    # The platform decision is final here: lock only when the
+    # real TPU client may open (no-op under --cpu).
+    hold_tpu_client_lock()
 
     from pomcpp_tpu.arena import League, play_games
 

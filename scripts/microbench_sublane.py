@@ -17,6 +17,11 @@ import functools
 import time
 
 import jax
+
+# Serialize against other TPU clients on this host (a concurrent
+# second client wedges the axon tunnel; see utils/device_lock.py).
+from pomcpp_tpu.utils.device_lock import hold_tpu_client_lock  # noqa: E402
+hold_tpu_client_lock()
 import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu

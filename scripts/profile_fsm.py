@@ -28,6 +28,11 @@ if args.skip:
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
+# Serialize against other TPU clients on this host (a concurrent
+# second client wedges the axon tunnel; see utils/device_lock.py).
+from pomcpp_tpu.utils.device_lock import hold_tpu_client_lock  # noqa: E402
+hold_tpu_client_lock()
+
 import jax  # noqa: E402
 import jax.numpy as jnp  # noqa: E402
 

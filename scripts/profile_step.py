@@ -22,6 +22,11 @@ import sys
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
+# Serialize against other TPU clients on this host (a concurrent
+# second client wedges the axon tunnel; see utils/device_lock.py).
+from pomcpp_tpu.utils.device_lock import hold_tpu_client_lock  # noqa: E402
+hold_tpu_client_lock()
+
 import jax
 
 jax.config.update("jax_compilation_cache_dir", "/root/repo/build/jax_cache")

@@ -19,6 +19,10 @@ import time
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
+# Serialize against other TPU clients on this host (a concurrent
+# second client wedges the axon tunnel; see utils/device_lock.py).
+from pomcpp_tpu.utils.device_lock import hold_tpu_client_lock  # noqa: E402
+
 import jax
 
 jax.config.update("jax_compilation_cache_dir", "/root/repo/build/jax_cache")
@@ -46,6 +50,9 @@ def main() -> None:
     args = p.parse_args()
     if args.cpu:
         jax.config.update("jax_platforms", "cpu")
+    # The platform decision is final here: lock only when the
+    # real TPU client may open (no-op under --cpu).
+    hold_tpu_client_lock()
 
     from pomcpp_tpu.env import env_reset
     from pomcpp_tpu.learner.distill import (

@@ -46,6 +46,11 @@ def _make_inputs():
 def phase_tpu() -> int:
     import jax
 
+    # Serialize against other TPU clients on this host (a concurrent
+    # second client wedges the axon tunnel; see utils/device_lock.py).
+    from pomcpp_tpu.utils.device_lock import hold_tpu_client_lock
+
+    hold_tpu_client_lock()
     jax.config.update("jax_compilation_cache_dir", "build/jax_cache")
     import jax.numpy as jnp
     import numpy as np
