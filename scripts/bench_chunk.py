@@ -65,15 +65,28 @@ def bench(policy: str, batch: int, chunk: int, rounds: int = 3,
 
 
 if __name__ == "__main__":
-    args = [a for a in sys.argv[1:] if not a.startswith("--")]
     batch = 16384
     chunk = 64
-    for a in sys.argv[1:]:
-        if a.startswith("--batch"):
-            batch = int(a.split("=")[1])
-        if a.startswith("--chunk"):
-            chunk = int(a.split("=")[1])
-    policies = args or ["harmless", "random"]
+    policies = []
+    argv = sys.argv[1:]
+    i = 0
+    while i < len(argv):
+        a = argv[i]
+        if a.startswith("--batch") or a.startswith("--chunk"):
+            # Accept both --batch=N and --batch N.
+            if "=" in a:
+                val = a.split("=", 1)[1]
+            else:
+                i += 1
+                val = argv[i]
+            if a.startswith("--batch"):
+                batch = int(val)
+            else:
+                chunk = int(val)
+        elif not a.startswith("--"):
+            policies.append(a)
+        i += 1
+    policies = policies or ["harmless", "random"]
     print(f"device: {jax.devices()[0].platform}, batch {batch}, chunk {chunk}")
     for p in policies:
         best = bench(p, batch, chunk)
