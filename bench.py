@@ -291,7 +291,9 @@ def main() -> None:
     curve = {}
     if path == "pallas_chunk":
         for pol in ("harmless", "random", "simple"):
-            for bsz in (4096, 65536):
+            # 131072 added post-r5: the curve still rises ~2-4% past
+            # 65536 (docs/PERF.md); budget-guarded like every point.
+            for bsz in (4096, 65536, 131072):
                 if time.perf_counter() - t_start > 1500:
                     print(f"skipping curve {pol}@{bsz} (time budget)",
                           file=sys.stderr, flush=True)
